@@ -1,0 +1,129 @@
+"""Versioned JSON commit log with atomic put-if-absent semantics.
+
+Layout::
+
+    <table>/_log/00000000000000000001.json   # commit v1
+    <table>/_log/00000000000000000002.json
+    <table>/_log/_checkpoint.<v>.json        # compacted state at v (every K commits)
+    <table>/_log/_last_checkpoint            # pointer to newest checkpoint
+
+Atomicity: a commit is staged to a temp file and published with ``os.link``
+(hard link), which fails with EEXIST if another writer won the version — the
+same optimistic put-if-absent protocol Delta Lake uses on HDFS/ABFS (on S3 one
+would use a DynamoDB/conditional-put coordinator; that swap is config-level).
+
+Checkpoints bound log replay to O(K) instead of O(n-commits) — at the 10^10
+design point the log would otherwise dominate planning time.
+
+Commit payload schema (dict):
+    operation: str                  # create|append|merge|delete|evolve_schema
+    summary:   dict                 # epoch, watermark, counts, ...
+    schema:    dict | None          # full TableSchema dict when it changes
+    add:       [ {path, bucket, rows, bytes, schema_version, min_key, max_key} ]
+    remove:    [ path, ... ]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic CAS lost)."""
+
+
+CHECKPOINT_INTERVAL = 25
+
+
+class TableLog:
+    def __init__(self, table_root: str):
+        self.root = table_root
+        self.log_dir = os.path.join(table_root, "_log")
+
+    # ---------- paths ----------
+
+    def _commit_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.json")
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"_checkpoint.{version:020d}.json")
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and self.latest_version() > 0
+
+    # ---------- read ----------
+
+    def latest_version(self) -> int:
+        if not os.path.isdir(self.log_dir):
+            return 0
+        best = 0
+        for name in os.listdir(self.log_dir):
+            if name.endswith(".json") and not name.startswith("_"):
+                try:
+                    best = max(best, int(name[:-5]))
+                except ValueError:
+                    continue
+        return best
+
+    def last_checkpoint_version(self) -> int:
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        try:
+            with open(ptr) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 0
+
+    def read_commit(self, version: int) -> dict:
+        with open(self._commit_path(version)) as f:
+            return json.load(f)
+
+    def read_checkpoint(self, version: int) -> dict | None:
+        try:
+            with open(self._checkpoint_path(version)) as f:
+                return json.load(f)
+        except OSError:
+            return None
+
+    def commits_since(self, after_version: int, until_version: int | None = None) -> list[tuple[int, dict]]:
+        until = until_version if until_version is not None else self.latest_version()
+        out = []
+        for v in range(after_version + 1, until + 1):
+            out.append((v, self.read_commit(v)))
+        return out
+
+    # ---------- write ----------
+
+    def write_commit(self, version: int, payload: dict) -> None:
+        os.makedirs(self.log_dir, exist_ok=True)
+        final = self._commit_path(version)
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".tmp-commit-", suffix=".json")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(payload, f, separators=(",", ":"))
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final)  # atomic put-if-absent
+            except FileExistsError as e:
+                raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def write_checkpoint(self, version: int, state: dict) -> None:
+        path = self._checkpoint_path(version)
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".tmp-ckpt-", suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f, separators=(",", ":"))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # checkpoint is derivative — overwrite is fine
+        ptr_tmp = os.path.join(self.log_dir, f".tmp-ptr-{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))

@@ -1,0 +1,452 @@
+"""LakeTable — bucketed copy-on-write ACID table with MERGE.
+
+The table plays the role Iceberg plays in the design (SURVEY §7.1): the keyed
+mutable state the CDC stream maintains — the analog of the reference's
+Postgres tables written in one transaction per height
+(``/root/reference/parser/dex/repo/repository.go:98-122``).
+
+Physical layout (chosen for the 100 TB design point):
+
+- data files are hash-bucketed on the merge key (``bucket(N, url)``): a MERGE
+  touches only the buckets its batch keys hash into, so commit cost is
+  O(batch ∪ affected-buckets), never a full-table rewrite;
+- per-file min/max key stats enable file skipping for point/range lookups;
+- the JSON commit log gives snapshot isolation, time travel and an
+  epoch-idempotency check (exactly-once; the synced-height CAS analog,
+  ``parser/dex/repo/repository.go:117``);
+- old files are never rewritten for schema changes — reads align by field id.
+
+On a real cluster ``num_buckets`` is sized so a bucket's working set fits an
+executor (e.g. 4096 buckets for 10^10 rows); locally tests use 8-32.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as _fut
+import os
+import time
+import uuid
+
+import pyarrow.parquet as _pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cosmwasm_etl_spark.lakehouse.log import CHECKPOINT_INTERVAL, TableLog
+from cosmwasm_etl_spark.lakehouse.schema import TableSchema, align_to, evolve
+
+_BUCKET = "__bucket"
+
+
+class TableState:
+    def __init__(self) -> None:
+        self.version: int = 0
+        self.schema: TableSchema | None = None
+        self.schemas: dict[int, TableSchema] = {}
+        self.files: dict[str, dict] = {}  # rel path -> entry
+        self.epochs: set[int] = set()
+        self.watermark: int = -1
+        self.key_col: str = ""
+        self.ts_col: str = ""
+        self.num_buckets: int = 0
+
+    def to_dict(self) -> dict:
+        return {
+            "version": self.version,
+            "schema_version": self.schema.schema_version if self.schema else 0,
+            "schemas": {str(v): s.to_dict() for v, s in self.schemas.items()},
+            "files": list(self.files.values()),
+            "epochs": sorted(self.epochs),
+            "watermark": self.watermark,
+            "key_col": self.key_col,
+            "ts_col": self.ts_col,
+            "num_buckets": self.num_buckets,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "TableState":
+        st = cls()
+        st.version = d["version"]
+        st.schemas = {int(v): TableSchema.from_dict(s) for v, s in d["schemas"].items()}
+        st.schema = st.schemas.get(d["schema_version"])
+        st.files = {e["path"]: e for e in d["files"]}
+        st.epochs = set(d["epochs"])
+        st.watermark = d["watermark"]
+        st.key_col = d["key_col"]
+        st.ts_col = d["ts_col"]
+        st.num_buckets = d["num_buckets"]
+        return st
+
+
+def _file_stats(abs_path: str, key_col: str) -> tuple[int, int, str | None, str | None]:
+    """(rows, bytes, min_key, max_key) from the parquet footer — no data read."""
+    md = _pq.ParquetFile(abs_path).metadata
+    rows = md.num_rows
+    size = os.path.getsize(abs_path)
+    key_idx = None
+    for i in range(md.num_columns):
+        if md.row_group(0).column(i).path_in_schema == key_col if md.num_row_groups else False:
+            key_idx = i
+            break
+    mn = mx = None
+    if key_idx is not None:
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(key_idx).statistics
+            if st is None or not st.has_min_max:
+                mn = mx = None
+                break
+            lo = st.min if isinstance(st.min, str) else None
+            hi = st.max if isinstance(st.max, str) else None
+            if lo is None or hi is None:
+                mn = mx = None
+                break
+            mn = lo if mn is None else min(mn, lo)
+            mx = hi if mx is None else max(mx, hi)
+    return rows, size, mn, mx
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.log = TableLog(self.path)
+
+    # ------------------------------------------------------------------ DDL
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema,
+        key_col: str,
+        ts_col: str,
+        num_buckets: int = 16,
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if t.log.exists():
+            raise FileExistsError(f"table exists at {path}")
+        ts = TableSchema.from_spark(schema) if not isinstance(schema, TableSchema) else schema
+        if key_col not in ts.names() or ts_col not in ts.names():
+            raise ValueError("key_col/ts_col must be schema columns")
+        t.log.write_commit(
+            1,
+            {
+                "operation": "create",
+                "summary": {"key_col": key_col, "ts_col": ts_col, "num_buckets": num_buckets},
+                "schema": ts.to_dict(),
+                "add": [],
+                "remove": [],
+            },
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if not t.log.exists():
+            raise FileNotFoundError(f"no lakehouse table at {path}")
+        return t
+
+    def evolve_schema(self, change: str, spec: dict) -> int:
+        """add_column / rename_column / widen_type — metadata-only commit."""
+        st = self.state()
+        new_schema = evolve(st.schema, change, spec)
+        v = st.version + 1
+        self.log.write_commit(
+            v,
+            {
+                "operation": "evolve_schema",
+                "summary": {"change": change, "spec": spec},
+                "schema": new_schema.to_dict(),
+                "add": [],
+                "remove": [],
+            },
+        )
+        self._maybe_checkpoint(v)
+        return v
+
+    # ------------------------------------------------------------------ state
+
+    def state(self, version: int | None = None) -> TableState:
+        ckpt_v = self.log.last_checkpoint_version()
+        st = TableState()
+        start = 0
+        if ckpt_v and (version is None or ckpt_v <= version):
+            d = self.log.read_checkpoint(ckpt_v)
+            if d is not None:
+                st = TableState.from_dict(d)
+                start = ckpt_v
+        for v, c in self.log.commits_since(start, version):
+            st.version = v
+            if c.get("schema"):
+                sch = TableSchema.from_dict(c["schema"])
+                st.schemas[sch.schema_version] = sch
+                st.schema = sch
+            if c["operation"] == "create":
+                s = c["summary"]
+                st.key_col, st.ts_col = s["key_col"], s["ts_col"]
+                st.num_buckets = s["num_buckets"]
+            for p in c.get("remove", []):
+                st.files.pop(p, None)
+            for e in c.get("add", []):
+                st.files[e["path"]] = e
+            summ = c.get("summary", {})
+            if summ.get("epoch") is not None:
+                st.epochs.add(int(summ["epoch"]))
+            if summ.get("watermark") is not None:
+                st.watermark = max(st.watermark, int(summ["watermark"]))
+        return st
+
+    def committed_epochs(self) -> set[int]:
+        return self.state().epochs
+
+    def watermark(self) -> int:
+        return self.state().watermark
+
+    def history(self) -> list[dict]:
+        out = []
+        for v, c in self.log.commits_since(0):
+            out.append({"version": v, "operation": c["operation"], "summary": c.get("summary", {})})
+        return out
+
+    def _maybe_checkpoint(self, version: int) -> None:
+        if version % CHECKPOINT_INTERVAL == 0:
+            self.log.write_checkpoint(version, self.state(version).to_dict())
+
+    # ------------------------------------------------------------------ read
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read (optionally time travel to ``version``).
+
+        Files are grouped by schema version; each group is one parquet scan
+        (predicate pushdown + column pruning intact), aligned to the current
+        schema by field id, then unioned.
+        """
+        st = self.state(version)
+        if not st.files:
+            return self.spark.createDataFrame([], st.schema.to_spark())
+        by_sv: dict[int, list[str]] = {}
+        for e in st.files.values():
+            by_sv.setdefault(e["schema_version"], []).append(os.path.join(self.path, e["path"]))
+        parts = []
+        for sv, paths in sorted(by_sv.items()):
+            fs = st.schemas[sv]
+            df = self.spark.read.schema(fs.to_spark()).parquet(*paths)
+            parts.append(align_to(df, fs, st.schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _bucket_expr(self, key_col: str, num_buckets: int):
+        return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+    # ------------------------------------------------------------------ write
+
+    def _write_files(self, df: DataFrame, st: TableState, n_parts: int) -> list[dict]:
+        """Write df (must carry __bucket) partitioned by bucket; return add-entries."""
+        stage_rel = os.path.join("data", uuid.uuid4().hex)
+        stage_abs = os.path.join(self.path, stage_rel)
+        (
+            df.repartition(max(n_parts, 1), F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .mode("overwrite")
+            .parquet(stage_abs)
+        )
+        entries: list[dict] = []
+        todo: list[tuple[str, int]] = []
+        for dirpath, _dirs, names in os.walk(stage_abs):
+            base = os.path.basename(dirpath)
+            if not base.startswith(f"{_BUCKET}="):
+                continue
+            bucket = int(base.split("=", 1)[1])
+            for n in names:
+                if n.endswith(".parquet"):
+                    todo.append((os.path.join(dirpath, n), bucket))
+        key_col = st.key_col
+        with _fut.ThreadPoolExecutor(max_workers=16) as ex:
+            stats = list(ex.map(lambda t: _file_stats(t[0], key_col), todo))
+        for (abs_p, bucket), (rows, size, mn, mx) in zip(todo, stats):
+            if rows == 0:
+                continue
+            entries.append(
+                {
+                    "path": os.path.relpath(abs_p, self.path),
+                    "bucket": bucket,
+                    "rows": rows,
+                    "bytes": size,
+                    "schema_version": st.schema.schema_version,
+                    "min_key": mn,
+                    "max_key": mx,
+                }
+            )
+        return entries
+
+    def append(self, df: DataFrame, epoch: int | None = None, watermark: int | None = None) -> dict:
+        """Append-only commit (bootstrap path; analog of batch insert S7)."""
+        st = self.state()
+        if epoch is not None and epoch in st.epochs:
+            return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
+        dfb = df.select(*st.schema.names()).withColumn(
+            _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
+        )
+        adds = self._write_files(dfb, st, st.num_buckets)
+        v = st.version + 1
+        self.log.write_commit(
+            v,
+            {
+                "operation": "append",
+                "summary": {
+                    "epoch": epoch,
+                    "watermark": watermark,
+                    "added_rows": sum(e["rows"] for e in adds),
+                    "ts": time.time(),
+                },
+                "schema": None,
+                "add": adds,
+                "remove": [],
+            },
+        )
+        self._maybe_checkpoint(v)
+        return {"skipped": False, "version": v, "added_rows": sum(e["rows"] for e in adds)}
+
+    def merge_upserts(
+        self,
+        batch: DataFrame,
+        epoch: int | None = None,
+        watermark: int | None = None,
+        op_col: str = "op",
+        extra_summary: dict | None = None,
+    ) -> dict:
+        """Copy-on-write MERGE — the engine's core upsert (S8/S9/W5 analog).
+
+        ``batch`` must contain the table's data columns plus ``op_col``
+        (insert|update|delete) and be pre-deduplicated to one row per key
+        (latest-wins; the caller applies the W5 window first). Semantics::
+
+            MERGE INTO pages USING batch ON pages.url = batch.url
+            WHEN MATCHED AND batch.op='delete' AND batch.ts >= pages.ts THEN DELETE
+            WHEN MATCHED AND batch.ts >= pages.ts THEN UPDATE SET *
+            WHEN NOT MATCHED AND batch.op <> 'delete' THEN INSERT *
+
+        Physical strategy: only buckets containing batch keys are read and
+        rewritten (file skipping by bucket); resolution is one full-outer
+        join per affected bucket set — AQE handles residual skew. The whole
+        operation is one atomic commit carrying the epoch id: re-running the
+        same epoch after a crash is a no-op (exactly-once; CAS analog of
+        ``parser/dex/repo/repository.go:117``).
+        """
+        st = self.state()
+        if epoch is not None and epoch in st.epochs:
+            return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
+        key, ts = st.key_col, st.ts_col
+        data_cols = st.schema.names()
+
+        b = batch.select(*data_cols, op_col).withColumn(
+            _BUCKET, self._bucket_expr(key, st.num_buckets)
+        )
+        affected = sorted(r[0] for r in b.select(_BUCKET).distinct().collect())
+        old_entries = [e for e in st.files.values() if e["bucket"] in set(affected)]
+        untouched_note = len(st.files) - len(old_entries)
+
+        if old_entries:
+            by_sv: dict[int, list[str]] = {}
+            for e in old_entries:
+                by_sv.setdefault(e["schema_version"], []).append(os.path.join(self.path, e["path"]))
+            parts = []
+            for sv, paths in sorted(by_sv.items()):
+                fs = st.schemas[sv]
+                dfp = self.spark.read.schema(fs.to_spark()).parquet(*paths)
+                parts.append(align_to(dfp, fs, st.schema))
+            old = parts[0]
+            for p in parts[1:]:
+                old = old.unionByName(p)
+        else:
+            old = self.spark.createDataFrame([], st.schema.to_spark())
+
+        o = old.alias("o")
+        bb = b.alias("b")
+        j = o.join(bb, F.col(f"o.{key}") == F.col(f"b.{key}"), "full_outer")
+        b_present = F.col(f"b.{key}").isNotNull()
+        o_present = F.col(f"o.{key}").isNotNull()
+        take_batch = b_present & (~o_present | (F.col(f"b.{ts}") >= F.col(f"o.{ts}")))
+        is_delete = F.col(f"b.{op_col}") == F.lit("delete")
+        keep = ~(take_batch & is_delete) & (o_present | (b_present & ~is_delete))
+
+        cols = [
+            F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"o.{c}")).alias(c)
+            for c in data_cols
+        ]
+        resolved = (
+            j.filter(keep)
+            .select(*cols)
+            .withColumn(_BUCKET, self._bucket_expr(key, st.num_buckets))
+        )
+
+        adds = self._write_files(resolved, st, max(len(affected), 1))
+        v = st.version + 1
+        summary = {
+            "epoch": epoch,
+            "watermark": watermark,
+            "affected_buckets": affected,
+            "untouched_files": untouched_note,
+            "rows_after": sum(e["rows"] for e in adds),
+            "ts": time.time(),
+        }
+        summary.update(extra_summary or {})
+        self.log.write_commit(
+            v,
+            {
+                "operation": "merge",
+                "summary": summary,
+                "schema": None,
+                "add": adds,
+                "remove": [e["path"] for e in old_entries],
+            },
+        )
+        self._maybe_checkpoint(v)
+        return {"skipped": False, "version": v, "rows_after": summary["rows_after"]}
+
+    def delete_where(self, predicate: str, epoch: int | None = None) -> dict:
+        """Row-level delete (retention analog S12): rewrite only files that
+        actually contain matching rows (found via input_file_name())."""
+        st = self.state()
+        if epoch is not None and epoch in st.epochs:
+            return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
+        full = self.read().withColumn("__file", F.input_file_name())
+        hit_files = [
+            r[0] for r in full.filter(F.expr(predicate)).select("__file").distinct().collect()
+        ]
+        if not hit_files:
+            return {"skipped": False, "version": st.version, "removed_rows": 0}
+        hit_rel = {os.path.relpath(p.replace("file://", ""), self.path) for p in hit_files}
+        hit_entries = [e for e in st.files.values() if e["path"] in hit_rel]
+        by_sv: dict[int, list[str]] = {}
+        for e in hit_entries:
+            by_sv.setdefault(e["schema_version"], []).append(os.path.join(self.path, e["path"]))
+        parts = []
+        for sv, paths in sorted(by_sv.items()):
+            fs = st.schemas[sv]
+            dfp = self.spark.read.schema(fs.to_spark()).parquet(*paths)
+            parts.append(align_to(dfp, fs, st.schema))
+        old = parts[0]
+        for p in parts[1:]:
+            old = old.unionByName(p)
+        kept = old.filter(~F.expr(predicate)).withColumn(
+            _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
+        )
+        adds = self._write_files(kept, st, max(len(hit_entries), 1))
+        v = st.version + 1
+        self.log.write_commit(
+            v,
+            {
+                "operation": "delete",
+                "summary": {"epoch": epoch, "predicate": predicate, "ts": time.time()},
+                "schema": None,
+                "add": adds,
+                "remove": [e["path"] for e in hit_entries],
+            },
+        )
+        self._maybe_checkpoint(v)
+        return {"skipped": False, "version": v}
