@@ -1,38 +1,64 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship CDC apply — deterministic synthetic change-event
+  log → quarantine-check → latest-wins dedup → Arrow html→text extraction →
+  exactly-once MERGE into the lakehouse pages table → returns the final pages
+  state (plus a replay-equivalence audit that must come back clean).
+- ``queries()`` / ``oracle_sql()``: one entry per implemented operator from
+  SURVEY.md §2 (see cosmwasm_etl_spark/queries.py).
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay on a deterministic synthetic event log.
+
+    Loads sf0.001 parquet (TESTDATA contract) to seed scale parameters, then
+    runs the engine end-to-end in a temp workspace and returns the final
+    pages table state. Raises if the replay-equivalence audit finds any
+    divergence.
+    """
+    from pyspark.sql import functions as F
+
+    from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
+    from cosmwasm_etl_spark.sources.eventlog import synthetic_events
+
+    # seed event volume from the sf0.001 events table (keeps the contract of
+    # "load sf0.001 parquet" while the CDC log itself is the FIXTURES.md §1
+    # deterministic synthetic stream)
+    seed_rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    n_events = max(int(seed_rows) * 5, 5_000)
+
+    events = synthetic_events(spark, n_events, n_urls=max(n_events // 10, 100), events_per_epoch=max(n_events // 10, 1))
+    work = tempfile.mkdtemp(prefix="spark_graft_entry_")
+    try:
+        table = create_pages_table(spark, f"{work}/pages", num_buckets=8)
+        pipe = CdcPipeline(spark, table, f"{work}/work")
+        pipe.run_replay(events, epochs_per_batch=2)
+        n_diff = pipe.audit(events).count()
+        if n_diff != 0:
+            raise AssertionError(f"replay-equivalence audit failed: {n_diff} divergent urls")
+        # materialize before deleting the backing files
+        rows = table.read().select("url", "warc_ts", "text", "lang").orderBy("url").collect()
+        return spark.createDataFrame(rows, "url string, warc_ts timestamp, text string, lang string")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cosmwasm_etl_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cosmwasm_etl_spark.queries import ORACLES
+
+    return dict(ORACLES)

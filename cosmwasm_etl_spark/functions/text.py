@@ -81,10 +81,13 @@ def lang_id(text: Column) -> Column:
     deterministic tie-break by language code). Returns 'und' when no
     profile scores > 0."""
     toks = tokens(text)
+
+    def _in(profile):  # plain closure: a default arg would become a 2nd lambda param
+        return lambda t: t.isin(*profile)
+
     scored = []
     for code in sorted(LANG_PROFILES):
-        profile = LANG_PROFILES[code]
-        score = F.size(F.filter(toks, lambda t, p=profile: t.isin(*p)))
+        score = F.size(F.filter(toks, _in(LANG_PROFILES[code])))
         scored.append(F.struct(score.alias("score"), F.lit(code).alias("code")))
     # array_max on struct → lexicographic (score, code); ties pick the
     # greatest code — deterministic. Swap to min-code by negating? Keep max.

@@ -27,34 +27,40 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "",
+    right_seq: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right ``value_cols`` with
     ``right_ts <= left_ts`` (per ``on`` key). NULL when no prior right row.
 
     Both inputs are unioned with a side tag; at equal timestamps the right
-    row sorts first so ``last(..., ignorenulls=True)`` sees it.
+    row sorts first so ``last(..., ignorenulls=True)`` sees it. When the
+    right side can contain duplicate timestamps per key, pass ``right_seq``
+    (e.g. an event id) — the greatest (ts, seq) right row wins, matching the
+    reference's ``ORDER BY height DESC, id DESC LIMIT 1``.
     """
     lcols = left.columns
     tagged_l = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__side"),
+        F.lit(None).cast("long").alias("__seq"),
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
     )
     tagged_r = right.select(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) if c not in on else F.col(c) for c in lcols],
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        (F.col(right_seq).cast("long") if right_seq else F.lit(0).cast("long")).alias("__seq"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )
     u = tagged_l.unionByName(tagged_r)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+        .orderBy(F.col("__ts").asc(), F.col("__side").desc(), F.col("__seq").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
-        *lcols,
+        *[c for c in lcols],
         F.col("__side"),
         *[
             F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")

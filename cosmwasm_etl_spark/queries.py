@@ -1,0 +1,571 @@
+"""Named query surface: every implemented operator from SURVEY.md §2 as a
+(spark_callable, oracle_sql) pair over the driver's parquet tables.
+
+Each Spark implementation uses the engine's operator library; each oracle is
+ANSI SQL DuckDB runs on the same tables. Column names and rounding are kept
+identical on both sides (the driver hash-compares values by sorted column
+name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cosmwasm_etl_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from cosmwasm_etl_spark.functions.multimodal import extract_media_features, synthetic_media
+from cosmwasm_etl_spark.functions.similarity import cosine_topk, lsh_bucketed_topk
+from cosmwasm_etl_spark.functions.text import (
+    LANG_PROFILES,
+    bpe_ish_token_count,
+    char_classes,
+    doc_fingerprint,
+    lang_id,
+    token_count,
+)
+from cosmwasm_etl_spark.operators.asof import asof_join
+from cosmwasm_etl_spark.operators.rank_anti import multiset_anti_join
+from cosmwasm_etl_spark.operators.topk import first_per_key, top1_per_key
+from cosmwasm_etl_spark.operators.validation import full_outer_diff
+from cosmwasm_etl_spark.routing import routes_df
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# CDC / aggregator-analog operators (FIXTURES.md §6)
+# =====================================================================
+
+def q_latest_per_key(spark, sf_dir):
+    """W5 latest-wins (`parser/dex/repo/repository.go:117` + ordered replay)."""
+    ev = _t(spark, sf_dir, "events")
+    return top1_per_key(ev, ["user_id"], ["ts", "event_id"]).select(
+        "user_id", "event_id", "ts", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_first_event_per_key(spark, sf_dir):
+    """W3 new-accounts-in-window (`pkg/db/parser/repository.go:711-720`)."""
+    ev = _t(spark, sf_dir, "events")
+    first = first_per_key(ev, ["user_id"], ["ts", "event_id"])
+    return first.filter(
+        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")
+    ).select("user_id", "event_id", "ts", "event_type")
+
+
+SQL_FIRST_EVENT_PER_KEY = """
+SELECT user_id, event_id, ts, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
+      FROM events)
+WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """J3/J4 lateral as-of (`pkg/db/parser/repository.go:321-325`): for each
+    click, the latest purchase value at-or-before it, per user."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value", "event_id")
+    out = asof_join(
+        clicks,
+        purchases.withColumnRenamed("value", "purchase_value").withColumnRenamed("event_id", "p_id"),
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_value"],
+        right_seq="p_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.round("value", 6).alias("value"),
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT e.event_id, e.user_id, e.ts, round(e.value, 6) AS value,
+       round(p.value, 6) AS purchase_value
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT value FROM events p
+  WHERE p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+  ORDER BY p.ts DESC, p.event_id DESC LIMIT 1
+) p ON TRUE
+WHERE e.event_type = 'click'
+"""
+
+
+def q_windowed_stats_30m(spark, sf_dir):
+    """T4/A2/A3 30-min tumbling stats (`aggregator/scheduler.go:107`,
+    `pkg/db/parser/repository.go:286-331`): per (window, type) counts,
+    conditional sums, exact distinct users."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.sum(F.when(F.col("value") > 5.0, F.col("value"))), 6).alias("sum_high"),
+        )
+    )
+
+
+SQL_WINDOWED_STATS_30M = """
+SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 6) AS sum_value,
+       round(sum(value) FILTER (WHERE value > 5.0), 6) AS sum_high
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_running_total(spark, sf_dir):
+    """A4 cumulative sums (`aggregator/task.go:143-219`)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("value"),
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+    )
+
+
+SQL_RUNNING_TOTAL = """
+SELECT event_id, user_id, ts, round(value, 6) AS value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+FROM events
+"""
+
+
+def q_group_top1(spark, sf_dir):
+    """J12 group-max join (`aggregator/repo/repository.go:104-116`)."""
+    ev = _t(spark, sf_dir, "events")
+    return top1_per_key(ev, ["user_id", "event_type"], ["value", "event_id"]).select(
+        "user_id", "event_type", "event_id", "ts", F.round("value", 6).alias("value")
+    )
+
+
+SQL_GROUP_TOP1 = """
+SELECT user_id, event_type, event_id, ts, round(value, 6) AS value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY value DESC, event_id DESC) rn
+      FROM events) WHERE rn = 1
+"""
+
+
+def q_dedup_anti_join(spark, sf_dir):
+    """J8 RemoveDuplicatedTxs (`parser/dex/dex.go:734-792`): each view event
+    cancels exactly one click with the same (user, floor(value)) key."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").withColumn(
+        "vkey", F.floor("value").cast("long")
+    )
+    views = ev.filter(F.col("event_type") == "view").withColumn(
+        "vkey", F.floor("value").cast("long")
+    )
+    out = multiset_anti_join(
+        clicks, views, keys=["user_id", "vkey"],
+        left_order=["ts", "event_id"], right_order=["ts", "event_id"],
+    )
+    return out.select("event_id", "user_id", "ts", F.round("value", 6).alias("value"))
+
+
+SQL_DEDUP_ANTI_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value, CAST(floor(value) AS BIGINT) vkey,
+         row_number() OVER (PARTITION BY user_id, CAST(floor(value) AS BIGINT)
+                            ORDER BY ts, event_id) occ
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT user_id, CAST(floor(value) AS BIGINT) vkey,
+         row_number() OVER (PARTITION BY user_id, CAST(floor(value) AS BIGINT)
+                            ORDER BY ts, event_id) occ
+  FROM events WHERE event_type = 'view'
+)
+SELECT event_id, user_id, ts, round(value, 6) AS value FROM l
+WHERE NOT EXISTS (SELECT 1 FROM r WHERE r.user_id = l.user_id AND r.vkey = l.vkey AND r.occ = l.occ)
+"""
+
+
+def q_full_outer_validation(spark, sf_dir):
+    """J6/T9 state diff (`parser/dex/dex.go:537-602`): expected vs actual
+    per-user counters, mismatches classified."""
+    ev = _t(spark, sf_dir, "events")
+    expected = ev.filter(F.col("event_type") == "click").groupBy("user_id").agg(
+        F.count("*").alias("n")
+    )
+    actual = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.count("*").alias("n")
+    )
+    return full_outer_diff(expected, actual, keys=["user_id"], compare_cols=["n"])
+
+
+SQL_FULL_OUTER_VALIDATION = """
+WITH e AS (SELECT user_id, count(*) n FROM events WHERE event_type='click' GROUP BY 1),
+     a AS (SELECT user_id, count(*) n FROM events WHERE event_type='view' GROUP BY 1)
+SELECT coalesce(e.user_id, a.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'missing_in_actual'
+            WHEN e.user_id IS NULL THEN 'missing_in_expected'
+            WHEN e.n IS DISTINCT FROM a.n THEN 'value_mismatch' END AS mismatch
+FROM e FULL OUTER JOIN a ON e.user_id = a.user_id
+WHERE (a.user_id IS NULL) OR (e.user_id IS NULL) OR (e.n IS DISTINCT FROM a.n)
+"""
+
+
+# =====================================================================
+# TPC-H-shaped operators (J1/J2/J7, A2/A3/A8, P3-P6)
+# =====================================================================
+
+def q_pricing_summary(spark, sf_dir):
+    """A2/A3/P4 grouped conditional aggregates with FILTER
+    (`pkg/db/parser/repository.go:286-331`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.when(F.col("l_shipdate") < "2024-06-01", F.col("l_quantity"))), 4
+            ).alias("sum_qty_early"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(sum(l_quantity) FILTER (WHERE l_shipdate < TIMESTAMP '2024-06-01'), 4) AS sum_qty_early,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_parts_revenue(spark, sf_dir):
+    """J1/J2 double broadcast dim join + computed projection
+    (`pkg/db/parser/repository.go:183-186`, `:303-306`)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_PARTS_REVENUE = """
+SELECT p_brand, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+
+def q_semi_join_orders(spark, sf_dir):
+    """J7 semi-join via IN-subquery (`pkg/db/parser/repository.go:867`)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        orders.join(F.broadcast(seg), orders.o_custkey == seg.c_custkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+    )
+
+
+SQL_SEMI_JOIN_ORDERS = """
+SELECT o_orderpriority, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY 1
+"""
+
+
+def q_routes(spark, sf_dir):
+    """G1 bounded-DFS route enumeration (`pkg/dex/router/route_info.go:108-181`,
+    max 4 hops `pkg/dex/router/constants.go:3`) over the nation/region clique
+    graph — driver-side DFS, result broadcast-sized."""
+    nation = _t(spark, sf_dir, "nation").select("n_name", "n_regionkey").collect()
+    edges = [
+        (a.n_name, b.n_name)
+        for a in nation
+        for b in nation
+        if a.n_regionkey == b.n_regionkey and a.n_name < b.n_name
+    ]
+    return routes_df(spark, edges, max_hops=4)
+
+
+SQL_ROUTES = """
+WITH RECURSIVE edges AS (
+  SELECT a.n_name AS src, b.n_name AS dst
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_name <> b.n_name
+), paths AS (
+  SELECT src, dst, src || '->' || dst AS route, 1 AS hops, [src, dst] AS visited FROM edges
+  UNION ALL
+  SELECT p.src, e.dst, p.route || '->' || e.dst, p.hops + 1, list_append(p.visited, e.dst)
+  FROM paths p JOIN edges e ON p.dst = e.src
+  WHERE p.hops < 4 AND NOT list_contains(p.visited, e.dst)
+)
+SELECT src, dst, route, CAST(hops AS INT) AS hops FROM paths
+"""
+
+
+# =====================================================================
+# Training-data pipeline operators (documents / embeddings)
+# =====================================================================
+
+_TOK_SPLIT = r"[^\p{L}\p{N}']+"
+# SQL-literal variant: the embedded single quote must be doubled inside '...'
+_TOK_SPLIT_SQL = r"[^\p{L}\p{N}'']+"
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup: lowest-id representative per normalized text."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+SQL_EXACT_DEDUP_DOCS = f"""
+WITH norm AS (
+  SELECT *, array_to_string(list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'),
+                                        x -> len(x) > 0), ' ') AS nt
+  FROM documents
+)
+SELECT doc_id, lang, source, n_chars
+FROM (SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) rn FROM norm)
+WHERE rn = 1
+"""
+
+
+def q_doc_token_stats(spark, sf_dir):
+    """Token counting + character-class stats (integer-exact)."""
+    docs = _t(spark, sf_dir, "documents")
+    cc = char_classes(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        cc["n_chars"].alias("n_chars_m"),
+        cc["n_alpha"].alias("n_alpha"),
+        cc["n_digit"].alias("n_digit"),
+        cc["n_punct"].alias("n_punct"),
+    )
+
+
+SQL_DOC_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0)) AS n_tokens,
+       len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars_m,
+       length(regexp_replace(text, '[^\\p{{L}}]', '', 'g')) AS n_alpha,
+       length(regexp_replace(text, '[^\\p{{N}}]', '', 'g')) AS n_digit,
+       length(regexp_replace(text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')) AS n_punct
+FROM documents
+"""
+
+
+def q_lang_id_docs(spark, sf_dir):
+    """Stopword-profile language ID (argmax, deterministic tie-break)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    structs = []
+    for code in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[code])
+        structs.append(
+            f"{{'score': len(list_filter(toks, t -> list_contains([{words}], t))), 'code': '{code}'}}"
+        )
+    arr = ", ".join(structs)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0) AS toks
+  FROM documents
+), best AS (
+  SELECT doc_id, list_max([{arr}]) AS b FROM t
+)
+SELECT doc_id, CASE WHEN b.score > 0 THEN b.code ELSE 'und' END AS lang_pred FROM best
+"""
+
+
+SQL_LANG_ID_DOCS = _sql_lang_id()
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs (exact; LSH-bucketed at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.12)
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0) t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in generate_series(1, len(t) - 2)])) AS s
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.12
+"""
+
+
+def q_minhash_lsh_dups(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (scale path; verified by exact Jaccard).
+    Non-SQL-expressible (hash-dependent) — rows-only driver check; recall
+    vs exact Jaccard asserted in tests/test_dedup.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, text_col="text", id_col="doc_id", n=3, k=32, bands=8, threshold=0.12)
+
+
+def q_simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3 via 4×16-bit band pigeonhole)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(docs, text_col="text", id_col="doc_id", max_hamming=3)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k over embeddings (queries = vec_id<20)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") < 20)
+    out = cosine_topk(corpus, queries, k=5)
+    return out.select("query_id", "rank", "neighbor_id", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_COSINE_TOPK = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cosine
+  FROM v q JOIN v c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id DESC) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, round(cosine, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lsh_ann(spark, sf_dir):
+    """LSH-bucketed approximate NN (scale path; recall tested in pytest).
+    Hash-bucket-dependent — rows-only driver check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") < 20)
+    return lsh_bucketed_topk(corpus, queries, dim=64, k=5, n_planes=6)
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media payload plumbing via mapInPandas (decode stubbed) —
+    rows-only driver check (synthetic media table)."""
+    media = synthetic_media(spark, n=256)
+    return extract_media_features(media).drop("feature").withColumn(
+        "n_feature", F.lit(8)
+    )
+
+
+QUERIES = {
+    "latest_per_key": q_latest_per_key,
+    "first_event_per_key": q_first_event_per_key,
+    "asof_join": q_asof_join,
+    "windowed_stats_30m": q_windowed_stats_30m,
+    "running_total": q_running_total,
+    "group_top1": q_group_top1,
+    "dedup_anti_join": q_dedup_anti_join,
+    "full_outer_validation": q_full_outer_validation,
+    "pricing_summary": q_pricing_summary,
+    "parts_revenue": q_parts_revenue,
+    "semi_join_orders": q_semi_join_orders,
+    "routes": q_routes,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "doc_token_stats": q_doc_token_stats,
+    "lang_id_docs": q_lang_id_docs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_dups": q_minhash_lsh_dups,
+    "simhash_dups": q_simhash_dups,
+    "cosine_topk": q_cosine_topk,
+    "lsh_ann": q_lsh_ann,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES = {
+    "latest_per_key": SQL_LATEST_PER_KEY,
+    "first_event_per_key": SQL_FIRST_EVENT_PER_KEY,
+    "asof_join": SQL_ASOF_JOIN,
+    "windowed_stats_30m": SQL_WINDOWED_STATS_30M,
+    "running_total": SQL_RUNNING_TOTAL,
+    "group_top1": SQL_GROUP_TOP1,
+    "dedup_anti_join": SQL_DEDUP_ANTI_JOIN,
+    "full_outer_validation": SQL_FULL_OUTER_VALIDATION,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "parts_revenue": SQL_PARTS_REVENUE,
+    "semi_join_orders": SQL_SEMI_JOIN_ORDERS,
+    "routes": SQL_ROUTES,
+    "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "doc_token_stats": SQL_DOC_TOKEN_STATS,
+    "lang_id_docs": SQL_LANG_ID_DOCS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "cosine_topk": SQL_COSINE_TOPK,
+    # minhash_lsh_dups / simhash_dups / lsh_ann / multimodal_features:
+    # hash-seed-dependent or non-tabular inputs — rows-only driver check;
+    # their correctness oracles live in tests/ (recall vs exact methods).
+}
