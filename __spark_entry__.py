@@ -46,7 +46,7 @@ def entry(spark: SparkSession) -> DataFrame:
         if n_diff != 0:
             raise AssertionError(f"replay-equivalence audit failed: {n_diff} divergent urls")
         # materialize before deleting the backing files
-        rows = table.read().select("url", "warc_ts", "text", "lang").orderBy("url").collect()
+        rows = pipe.pages().select("url", "warc_ts", "text", "lang").orderBy("url").collect()
         return spark.createDataFrame(rows, "url string, warc_ts timestamp, text string, lang string")
     finally:
         shutil.rmtree(work, ignore_errors=True)

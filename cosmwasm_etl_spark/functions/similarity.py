@@ -111,20 +111,33 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket (exact
-    re-rank inside). Recall tunes with n_planes (fewer planes → bigger
-    buckets → higher recall/cost)."""
+    """Approximate top-k: candidates share (one of) the query's LSH buckets,
+    exact re-rank inside. ``multiprobe=True`` also probes the n_planes
+    buckets at Hamming distance 1 from the query's bucket (standard
+    multi-probe LSH) — recall rises steeply for ~n_planes× candidate cost,
+    and only the (broadcast) query side is replicated, never the corpus."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         lsh_bucket_key(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
-    q = queries.select(
+    qbase = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        lsh_bucket_key(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes, seed).alias("bucket0"),
     )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        q = qbase.select(
+            "query_id", "__qv", F.explode(probes).alias("bucket")
+        )
+    else:
+        q = qbase.withColumnRenamed("bucket0", "bucket")
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -133,6 +146,7 @@ def lsh_bucketed_topk(
             F.round(_dot(F.col("__cv"), F.col("__qv")) / (_norm(F.col("__cv")) * _norm(F.col("__qv"))), 6),
         )
         .select("query_id", "neighbor_id", "cosine")
+        .distinct()  # multiprobe can surface a pair via several buckets
     )
     return (
         scored.groupBy("query_id")

@@ -21,7 +21,11 @@ _TYPE_MAP = {
     "string": T.StringType(),
     "binary": T.BinaryType(),
     "int": T.IntegerType(),
+    "integer": T.IntegerType(),
     "long": T.LongType(),
+    "bigint": T.LongType(),
+    "smallint": T.ShortType(),
+    "tinyint": T.ByteType(),
     "float": T.FloatType(),
     "double": T.DoubleType(),
     "boolean": T.BooleanType(),
@@ -37,13 +41,17 @@ _WIDEN_OK = {
     ("float", "double"),
 }
 
+_CANON = {"bigint": "long", "integer": "int"}
+
+
+def _canon_type(s: str) -> str:
+    return _CANON.get(s, s)
+
 
 def _parse_type(s: str) -> T.DataType:
     if s in _TYPE_MAP:
         return _TYPE_MAP[s]
-    if s.startswith("decimal"):
-        return T._parse_datatype_string(s)  # decimal(p,s)
-    if s.startswith("array") or s.startswith("map") or s.startswith("struct"):
+    if s.startswith(("decimal", "array", "map", "struct")):
         return T._parse_datatype_string(s)
     raise ValueError(f"unsupported lakehouse type: {s}")
 
@@ -71,7 +79,12 @@ class TableSchema:
     @classmethod
     def from_spark(cls, st: T.StructType) -> "TableSchema":
         fields = [
-            Field(id=i + 1, name=f.name, type=f.dataType.simpleString(), nullable=f.nullable)
+            Field(
+                id=i + 1,
+                name=f.name,
+                type=_canon_type(f.dataType.simpleString()),
+                nullable=f.nullable,
+            )
             for i, f in enumerate(st.fields)
         ]
         return cls(fields=fields, schema_version=1)
@@ -130,9 +143,9 @@ def evolve(schema: TableSchema, change: str, spec: dict) -> TableSchema:
         tgt = next((f for f in fields if f.name == spec["name"]), None)
         if tgt is None:
             raise KeyError(spec["name"])
-        if (tgt.type, spec["to"]) not in _WIDEN_OK:
+        if (_canon_type(tgt.type), _canon_type(spec["to"])) not in _WIDEN_OK:
             raise ValueError(f"illegal widen {tgt.type} -> {spec['to']}")
-        tgt.type = spec["to"]
+        tgt.type = _canon_type(spec["to"])
     else:
         raise ValueError(f"unknown change: {change}")
     return TableSchema(fields=fields, schema_version=schema.schema_version + 1)

@@ -316,7 +316,8 @@ class LakeTable:
         batch: DataFrame,
         epoch: int | None = None,
         watermark: int | None = None,
-        op_col: str = "op",
+        op_col: str | None = "op",
+        order_cols: list[str] | None = None,
         extra_summary: dict | None = None,
     ) -> dict:
         """Copy-on-write MERGE — the engine's core upsert (S8/S9/W5 analog).
@@ -336,14 +337,24 @@ class LakeTable:
         operation is one atomic commit carrying the epoch id: re-running the
         same epoch after a crash is a no-op (exactly-once; CAS analog of
         ``parser/dex/repo/repository.go:117``).
+
+        ``order_cols`` (default ``[ts_col]``) defines the latest-wins order as
+        a lexicographic tuple — pass e.g. ``["warc_ts", "seq"]`` so same-ts
+        ties resolve by the event sequence (SURVEY §7.4.2), which also makes
+        the merge **order-insensitive across batches**: applying batches in
+        any order converges to the same state. ``op_col=None`` disables the
+        delete branch (pure upserts — the tombstone pattern, where deletes
+        are rows with a ``deleted`` flag).
         """
         st = self.state()
         if epoch is not None and epoch in st.epochs:
             return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
         key, ts = st.key_col, st.ts_col
+        order_cols = order_cols or [ts]
         data_cols = st.schema.names()
 
-        b = batch.select(*data_cols, op_col).withColumn(
+        batch_cols = [*data_cols] + ([op_col] if op_col else [])
+        b = batch.select(*batch_cols).withColumn(
             _BUCKET, self._bucket_expr(key, st.num_buckets)
         )
         affected = sorted(r[0] for r in b.select(_BUCKET).distinct().collect())
@@ -370,9 +381,14 @@ class LakeTable:
         j = o.join(bb, F.col(f"o.{key}") == F.col(f"b.{key}"), "full_outer")
         b_present = F.col(f"b.{key}").isNotNull()
         o_present = F.col(f"o.{key}").isNotNull()
-        take_batch = b_present & (~o_present | (F.col(f"b.{ts}") >= F.col(f"o.{ts}")))
-        is_delete = F.col(f"b.{op_col}") == F.lit("delete")
-        keep = ~(take_batch & is_delete) & (o_present | (b_present & ~is_delete))
+        b_ord = F.struct(*[F.col(f"b.{c}") for c in order_cols])
+        o_ord = F.struct(*[F.col(f"o.{c}") for c in order_cols])
+        take_batch = b_present & (~o_present | (b_ord >= o_ord))
+        if op_col:
+            is_delete = F.col(f"b.{op_col}") == F.lit("delete")
+            keep = ~(take_batch & is_delete) & (o_present | (b_present & ~is_delete))
+        else:
+            keep = o_present | b_present
 
         cols = [
             F.when(take_batch, F.col(f"b.{c}")).otherwise(F.col(f"o.{c}")).alias(c)

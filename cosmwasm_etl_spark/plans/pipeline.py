@@ -48,8 +48,21 @@ PAGES_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType(), True),
         T.StructField("text", T.StringType(), True),
         T.StructField("lang", T.StringType(), True),
+        # engine-internal columns:
+        # seq — the event-sequence tiebreaker (SURVEY §7.4.2); with warc_ts it
+        # forms the latest-wins order, making MERGE order-insensitive across
+        # micro-batches (batches may be delivered out of order by a file
+        # source or replayed concurrently);
+        # deleted — tombstone flag: deletes are upserts of a tombstone row,
+        # never physical removals, so a late-arriving older update can never
+        # resurrect a deleted url. Tombstones are vacuumed by retention
+        # (S12 analog) once the watermark passes them.
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("deleted", T.BooleanType(), False),
     ]
 )
+
+PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
 def create_pages_table(spark: SparkSession, path: str, num_buckets: int = 16) -> LakeTable:
@@ -108,7 +121,8 @@ class CdcPipeline:
                 suffix="-late",
             )
             batch = extracted.filter(F.col("__extract_err").isNull()).select(
-                "url", "warc_ts", "html", "text", "lang", "op", "seq"
+                "url", "warc_ts", "html", "text", "lang", "seq",
+                (F.col("op") == "delete").alias("deleted"),
             )
 
             stats_row = ev.agg(
@@ -117,10 +131,11 @@ class CdcPipeline:
             n_events, max_seq = stats_row["n"], stats_row["max_seq"]
 
             res = self.table.merge_upserts(
-                batch.drop("seq"),
+                batch,
                 epoch=batch_id,
                 watermark=max_seq,
-                op_col="op",
+                op_col=None,  # tombstone pattern: deletes are flagged upserts
+                order_cols=["warc_ts", "seq"],
                 extra_summary={"n_events": n_events, "n_quarantined": n_quarantined + n_late},
             )
         finally:
@@ -199,6 +214,20 @@ class CdcPipeline:
             all_stats.append(self.apply_batch(chunk, b))
         return all_stats
 
+    # ------------------------------------------------------------ reads
+
+    def pages(self) -> DataFrame:
+        """Active (non-tombstoned) pages in the canonical input_hint shape."""
+        return self.table.read().filter(~F.col("deleted")).select(*PAGE_COLUMNS, "seq")
+
+    def vacuum_tombstones(self, older_than_ts: str, epoch: int | None = None) -> dict:
+        """Retention pass (S12 analog): physically drop tombstones older than
+        the given timestamp — safe once no replay can deliver events older
+        than it."""
+        return self.table.delete_where(
+            f"deleted AND warc_ts < timestamp'{older_than_ts}'", epoch=epoch
+        )
+
     # ------------------------------------------------------------ audit (T9)
 
     def expected_state(self, events: DataFrame) -> DataFrame:
@@ -218,7 +247,7 @@ class CdcPipeline:
         empty result ⇔ equivalent (the T9 validation-worker analog)."""
         return full_outer_diff(
             self.expected_state(events),
-            self.table.read(),
+            self.pages(),
             keys=["url"],
             compare_cols=["warc_ts", "text", "lang"],
         )
@@ -247,7 +276,12 @@ class CdcPipeline:
         ex = extractor(q)
         ok = ex.filter(F.col("__extract_err").isNull())
         winners = latest_wins_agg(ok, key="url", order_cols=["warc_ts", "seq"])
-        batch = winners.select("url", "warc_ts", "html", "text", "lang", "op")
-        res = self.table.merge_upserts(batch, epoch=batch_id, op_col="op")
+        batch = winners.select(
+            "url", "warc_ts", "html", "text", "lang", "seq",
+            (F.col("op") == "delete").alias("deleted"),
+        )
+        res = self.table.merge_upserts(
+            batch, epoch=batch_id, op_col=None, order_cols=["warc_ts", "seq"]
+        )
         n_ok = ok.count()
         return {"retried": int(q.count()), "resolved": int(n_ok), "merge": res}

@@ -40,7 +40,7 @@ def test_full_replay_matches_oracle(spark, tmp_path, events_df):
     diff = pipe.audit(events_df)
     assert diff.count() == 0
     # final state is non-trivial
-    n = pipe.table.read().count()
+    n = pipe.pages().count()
     assert 0 < n <= 1_500
 
 
@@ -77,7 +77,7 @@ def test_double_replay_is_noop(spark, tmp_path, events_df):
 def test_latest_wins_and_deletes_respected(spark, tmp_path, events_df):
     pipe = make_pipeline(spark, tmp_path)
     pipe.run_replay(events_df, epochs_per_batch=EPB)
-    state = pipe.table.read()
+    state = pipe.pages()
     # oracle via plain SQL over the event log (duckdb-equivalent shape)
     events_df.createOrReplaceTempView("ev")
     oracle = spark.sql(
@@ -98,8 +98,7 @@ def test_latest_wins_and_deletes_respected(spark, tmp_path, events_df):
 def test_extracted_text_byte_identical_in_table(spark, tmp_path, events_df):
     pipe = make_pipeline(spark, tmp_path)
     pipe.run_replay(events_df, epochs_per_batch=EPB)
-    rows = pipe.table.read().filter(F.col("op") != "delete" if "op" in pipe.table.read().columns else F.lit(True)) \
-        .select("url", "html", "text").limit(200).collect()
+    rows = pipe.pages().select("url", "html", "text").limit(200).collect()
     assert rows
     for r in rows:
         want, err = extract_text_bytes(r.html)
@@ -122,10 +121,10 @@ def test_quarantine_capture_and_retry(spark, tmp_path, events_df):
             "__extract_err", F.lit(None).cast("string")
         )
 
-    before = pipe.table.read().count()
+    before = pipe.pages().count()
     res = pipe.retry_quarantine(batch_id=10_000, extractor=fixed_extractor)
     assert res["resolved"] == nq
-    after = pipe.table.read()
+    after = pipe.pages()
     # recovered urls present only if their warc_ts beats the table row (latest-wins safe)
     assert after.count() >= before
     # idempotent: second retry with same batch_id is a no-op commit
