@@ -73,7 +73,10 @@ def run_cdc_apply(spark, n_events: int, epochs_per_batch: int = 5) -> dict:
         events = spark.read.parquet(events_dir)
 
         table = create_pages_table(spark, os.path.join(work, "pages"), num_buckets=max(CPUS, 16))
-        pipe = CdcPipeline(spark, table, os.path.join(work, "work"))
+        pipe = CdcPipeline(
+            spark, table, os.path.join(work, "work"),
+            sink_mode=os.environ.get("SPARK_GRAFT_SINK_MODE", "mor"),
+        )
         t0 = time.time()
         pipe.run_replay(events, epochs_per_batch=epochs_per_batch)
         dt = time.time() - t0

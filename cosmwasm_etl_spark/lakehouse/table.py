@@ -424,6 +424,66 @@ class LakeTable:
         self._maybe_checkpoint(v)
         return {"skipped": False, "version": v, "rows_after": summary["rows_after"]}
 
+    def append_delta(self, df: DataFrame, epoch: int | None = None, watermark: int | None = None) -> dict:
+        """Merge-on-read write path (LSM-style, the Hudi/Paimon MOR pattern):
+        the batch is appended as bucketed *delta* files — O(batch) work, no
+        base rewrite. Readers resolve latest-per-key across base+delta rows
+        (the caller's latest-wins over (ts, seq)); :meth:`compact` folds
+        deltas back into one row per key. At the 10^10 design point this is
+        the sustained-ingest path: COW merge cost grows with table size,
+        delta append cost only with batch size."""
+        st = self.state()
+        if epoch is not None and epoch in st.epochs:
+            return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
+        dfb = df.select(*st.schema.names()).withColumn(
+            _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
+        )
+        adds = self._write_files(dfb, st, st.num_buckets)
+        v = st.version + 1
+        self.log.write_commit(
+            v,
+            {
+                "operation": "delta",
+                "summary": {
+                    "epoch": epoch,
+                    "watermark": watermark,
+                    "added_rows": sum(e["rows"] for e in adds),
+                    "ts": time.time(),
+                },
+                "schema": None,
+                "add": adds,
+                "remove": [],
+            },
+        )
+        self._maybe_checkpoint(v)
+        return {"skipped": False, "version": v, "added_rows": sum(e["rows"] for e in adds)}
+
+    def compact(self, resolve, epoch: int | None = None) -> dict:
+        """Fold all base+delta rows into one row per key: ``resolve`` is a
+        df→df latest-wins reducer (the caller owns the ordering semantics).
+        One atomic commit swaps every active file for the compacted set —
+        readers see either the old or the new snapshot, never a mix."""
+        st = self.state()
+        if epoch is not None and epoch in st.epochs:
+            return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
+        resolved = resolve(self.read()).select(*st.schema.names()).withColumn(
+            _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
+        )
+        adds = self._write_files(resolved, st, st.num_buckets)
+        v = st.version + 1
+        self.log.write_commit(
+            v,
+            {
+                "operation": "compact",
+                "summary": {"epoch": epoch, "rows_after": sum(e["rows"] for e in adds), "ts": time.time()},
+                "schema": None,
+                "add": adds,
+                "remove": list(st.files.keys()),
+            },
+        )
+        self._maybe_checkpoint(v)
+        return {"skipped": False, "version": v, "rows_after": sum(e["rows"] for e in adds)}
+
     def delete_where(self, predicate: str, epoch: int | None = None) -> dict:
         """Row-level delete (retention analog S12): rewrite only files that
         actually contain matching rows (found via input_file_name())."""

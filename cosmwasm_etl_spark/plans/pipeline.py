@@ -77,7 +77,20 @@ class CdcPipeline:
         work_dir: str,
         dedup_strategy: str = "agg",
         salt_buckets: int | None = 16,
+        sink_mode: str = "cow",
+        compact_every: int = 8,
     ):
+        """``sink_mode``:
+
+        - ``"cow"`` — copy-on-write MERGE per batch (read-optimized: table
+          always holds one row per key; batch cost grows with affected-bucket
+          size).
+        - ``"mor"`` — merge-on-read: batches append delta files (O(batch)
+          ingest cost), reads resolve latest-wins, and every
+          ``compact_every`` applied batches a compaction folds deltas into
+          base. The sustained-ingest configuration for the 10^10 design
+          point.
+        """
         self.spark = spark
         self.table = table
         self.work_dir = os.path.abspath(work_dir)
@@ -87,6 +100,11 @@ class CdcPipeline:
         os.makedirs(self.lineage_dir, exist_ok=True)
         self.dedup_strategy = dedup_strategy
         self.salt_buckets = salt_buckets
+        if sink_mode not in ("cow", "mor"):
+            raise ValueError(f"unknown sink_mode: {sink_mode}")
+        self.sink_mode = sink_mode
+        self.compact_every = compact_every
+        self._applied_since_compact = 0
 
     # ------------------------------------------------------------ single batch
 
@@ -130,14 +148,21 @@ class CdcPipeline:
             ).collect()[0]
             n_events, max_seq = stats_row["n"], stats_row["max_seq"]
 
-            res = self.table.merge_upserts(
-                batch,
-                epoch=batch_id,
-                watermark=max_seq,
-                op_col=None,  # tombstone pattern: deletes are flagged upserts
-                order_cols=["warc_ts", "seq"],
-                extra_summary={"n_events": n_events, "n_quarantined": n_quarantined + n_late},
-            )
+            if self.sink_mode == "mor":
+                res = self.table.append_delta(batch, epoch=batch_id, watermark=max_seq)
+                self._applied_since_compact += 1
+                if self._applied_since_compact >= self.compact_every:
+                    self.table.compact(self._resolve_latest)
+                    self._applied_since_compact = 0
+            else:
+                res = self.table.merge_upserts(
+                    batch,
+                    epoch=batch_id,
+                    watermark=max_seq,
+                    op_col=None,  # tombstone pattern: deletes are flagged upserts
+                    order_cols=["warc_ts", "seq"],
+                    extra_summary={"n_events": n_events, "n_quarantined": n_quarantined + n_late},
+                )
         finally:
             ev.unpersist()
 
@@ -216,9 +241,19 @@ class CdcPipeline:
 
     # ------------------------------------------------------------ reads
 
+    def _resolve_latest(self, df: DataFrame) -> DataFrame:
+        """Latest-wins reducer over base+delta rows (MOR read resolution)."""
+        return latest_wins_agg(df, key="url", order_cols=["warc_ts", "seq"])
+
     def pages(self) -> DataFrame:
-        """Active (non-tombstoned) pages in the canonical input_hint shape."""
-        return self.table.read().filter(~F.col("deleted")).select(*PAGE_COLUMNS, "seq")
+        """Active (non-tombstoned) pages in the canonical input_hint shape.
+
+        In COW mode the table already holds one row per key; in MOR mode the
+        read resolves latest-wins across un-compacted deltas first."""
+        df = self.table.read()
+        if self.sink_mode == "mor":
+            df = self._resolve_latest(df)
+        return df.filter(~F.col("deleted")).select(*PAGE_COLUMNS, "seq")
 
     def vacuum_tombstones(self, older_than_ts: str, epoch: int | None = None) -> dict:
         """Retention pass (S12 analog): physically drop tombstones older than

@@ -151,3 +151,19 @@ def test_window_dedup_strategy_equivalent(spark, tmp_path, events_df):
     pipe = make_pipeline(spark, tmp_path, dedup_strategy="window", salt_buckets=8)
     pipe.run_replay(events_df, epochs_per_batch=EPB)
     assert pipe.audit(events_df).count() == 0
+
+
+def test_mor_sink_equivalent_and_compacts(spark, tmp_path, events_df):
+    """Merge-on-read sink: delta appends + periodic compaction converge to
+    the same state as COW, including across a restart mid-stream."""
+    pipe = make_pipeline(spark, tmp_path, sink_mode="mor", compact_every=3)
+    stats = pipe.run_replay(events_df, epochs_per_batch=EPB)
+    assert all(not s.get("skipped") for s in stats)
+    assert pipe.audit(events_df).count() == 0
+    ops = [h["operation"] for h in pipe.table.history()]
+    assert "delta" in ops and "compact" in ops
+    # after a final manual compaction the table holds one row per key
+    pipe.table.compact(pipe._resolve_latest)
+    raw = pipe.table.read()
+    assert raw.count() == raw.select("url").distinct().count()
+    assert pipe.audit(events_df).count() == 0
