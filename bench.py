@@ -48,11 +48,17 @@ HEADLINE = [
 def make_session(cores: int):
     from cosmwasm_etl_spark.session import build_session
 
+    # local mode shares one JVM heap across driver+executors: size it for
+    # 8 KB-page Arrow batches or GC (GCLocker) serializes the UDF path
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     return build_session(
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
     )
+
+
+BODY_WORDS = int(os.environ.get("SPARK_GRAFT_BODY_WORDS", "1000"))  # ≈8 KB/page
 
 
 def run_cdc_apply(spark, n_events: int, epochs_per_batch: int = 5) -> dict:
@@ -68,7 +74,9 @@ def run_cdc_apply(spark, n_events: int, epochs_per_batch: int = 5) -> dict:
         events_dir = os.path.join(work, "events")
         n_urls = max(n_events // 20, 1000)
         epe = max(n_events // 10, 1)  # 10 epochs
-        gen = synthetic_events(spark, n_events, n_urls=n_urls, events_per_epoch=epe)
+        gen = synthetic_events(
+            spark, n_events, n_urls=n_urls, events_per_epoch=epe, body_words=BODY_WORDS
+        )
         write_event_log(gen, events_dir, range_partitions=max(CPUS, 8))
         events = spark.read.parquet(events_dir)
 

@@ -319,6 +319,7 @@ class LakeTable:
         op_col: str | None = "op",
         order_cols: list[str] | None = None,
         extra_summary: dict | None = None,
+        summary_fn=None,
     ) -> dict:
         """Copy-on-write MERGE — the engine's core upsert (S8/S9/W5 analog).
 
@@ -411,6 +412,8 @@ class LakeTable:
             "ts": time.time(),
         }
         summary.update(extra_summary or {})
+        if summary_fn is not None:
+            summary.update(summary_fn() or {})
         self.log.write_commit(
             v,
             {
@@ -424,7 +427,13 @@ class LakeTable:
         self._maybe_checkpoint(v)
         return {"skipped": False, "version": v, "rows_after": summary["rows_after"]}
 
-    def append_delta(self, df: DataFrame, epoch: int | None = None, watermark: int | None = None) -> dict:
+    def append_delta(
+        self,
+        df: DataFrame,
+        epoch: int | None = None,
+        watermark: int | None = None,
+        summary_fn=None,
+    ) -> dict:
         """Merge-on-read write path (LSM-style, the Hudi/Paimon MOR pattern):
         the batch is appended as bucketed *delta* files — O(batch) work, no
         base rewrite. Readers resolve latest-per-key across base+delta rows
@@ -439,17 +448,23 @@ class LakeTable:
             _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
         )
         adds = self._write_files(dfb, st, st.num_buckets)
+        summary = {
+            "epoch": epoch,
+            "watermark": watermark,
+            "added_rows": sum(e["rows"] for e in adds),
+            "ts": time.time(),
+        }
+        if summary_fn is not None:
+            # evaluated AFTER the write job (observed metrics are available)
+            # and BEFORE the atomic commit — watermark/counts land in the
+            # same commit as the data, like the reference's single-tx CAS.
+            summary.update(summary_fn() or {})
         v = st.version + 1
         self.log.write_commit(
             v,
             {
                 "operation": "delta",
-                "summary": {
-                    "epoch": epoch,
-                    "watermark": watermark,
-                    "added_rows": sum(e["rows"] for e in adds),
-                    "ts": time.time(),
-                },
+                "summary": summary,
                 "schema": None,
                 "add": adds,
                 "remove": [],

@@ -116,66 +116,88 @@ class CdcPipeline:
         )
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
-        """Apply one micro-batch of change events. Idempotent on batch_id."""
+        """Apply one micro-batch of change events. Idempotent on batch_id.
+
+        Physical shape: the whole batch streams through ONE job — validity
+        check (Arrow decode pass) → latest-wins aggregate → extraction of
+        winners → bucketed file write — with batch statistics (event count,
+        seq range, quarantine count) collected *during* that job via
+        ``Observation`` metrics. No ``persist()`` of raw html (8 KB/page
+        payloads through the JVM heap cause GC thrash), no second stats
+        pass. The rare quarantine spill re-reads the source slice only when
+        the observed quarantine count is non-zero.
+        """
         if batch_id in self.table.committed_epochs():
             return {"batch_id": batch_id, "skipped": True}
         t0 = time.time()
+        from pyspark.sql import Observation
 
+        obs = Observation(f"cdc-batch-{batch_id}")
         ev = events.withColumn("__q_err", check_quarantine_udf()(F.col("html")))
-        ev = ev.persist()
-        try:
-            # ONE pass over the batch computes the validity check and all
-            # batch stats (count / seq range / quarantine count) together —
-            # per-batch fixed cost matters as much as per-row cost at high
-            # micro-batch cadence.
-            stats_row = ev.agg(
-                F.count("*").alias("n"),
-                F.max("seq").alias("max_seq"),
-                F.min("seq").alias("min_seq"),
-                F.count("__q_err").alias("nq"),  # count() skips nulls
-            ).collect()[0]
-            n_events, max_seq = stats_row["n"], stats_row["max_seq"]
-            n_quarantined = int(stats_row["nq"])
+        ev = ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.max("seq").alias("max_seq"),
+            F.min("seq").alias("min_seq"),
+            F.count("__q_err").alias("nq"),  # count() skips nulls
+        )
 
-            if n_quarantined:
-                self._write_quarantine(ev.filter(F.col("__q_err").isNotNull()), batch_id)
+        valid = ev.filter(F.col("__q_err").isNull()).drop("__q_err")
+        winners = self._dedup(valid)
+        extracted = with_extracted_text(winners, html_col="html", out_text="text")
+        # the cheap pre-check and the full extraction share one validity
+        # rule (tested byte-identical) — extraction runs exactly once, on
+        # dedup winners only; the filter below is defensive.
+        batch = extracted.filter(F.col("__extract_err").isNull()).select(
+            "url", "warc_ts", "html", "text", "lang", "seq",
+            (F.col("op") == "delete").alias("deleted"),
+        )
 
-            valid = ev.filter(F.col("__q_err").isNull()).drop("__q_err")
-            winners = self._dedup(valid)
-            extracted = with_extracted_text(winners, html_col="html", out_text="text")
-            # the cheap pre-check and the full extraction share one validity
-            # rule (tested byte-identical), so no post-extraction quarantine
-            # pass is needed — rows are filtered defensively but extraction
-            # runs exactly once, on dedup winners only.
-            batch = extracted.filter(F.col("__extract_err").isNull()).select(
-                "url", "warc_ts", "html", "text", "lang", "seq",
-                (F.col("op") == "delete").alias("deleted"),
+        def _observed_summary() -> dict:
+            # runs after the sink's write job (metrics available), before
+            # the atomic commit — watermark + counts land IN the commit,
+            # exactly like the reference's single-transaction CAS.
+            got = obs.get
+            return {
+                "watermark": int(got["max_seq"]) if got["max_seq"] is not None else None,
+                "n_events": int(got["n"] or 0),
+                "n_quarantined": int(got["nq"] or 0),
+                "min_seq": int(got["min_seq"]) if got["min_seq"] is not None else None,
+            }
+
+        if self.sink_mode == "mor":
+            res = self.table.append_delta(batch, epoch=batch_id, summary_fn=_observed_summary)
+        else:
+            res = self.table.merge_upserts(
+                batch,
+                epoch=batch_id,
+                op_col=None,  # tombstone pattern: deletes are flagged upserts
+                order_cols=["warc_ts", "seq"],
+                summary_fn=_observed_summary,
             )
 
-            if self.sink_mode == "mor":
-                res = self.table.append_delta(batch, epoch=batch_id, watermark=max_seq)
-                self._applied_since_compact += 1
-                if self._applied_since_compact >= self.compact_every:
-                    self.table.compact(self._resolve_latest)
-                    self._applied_since_compact = 0
-            else:
-                res = self.table.merge_upserts(
-                    batch,
-                    epoch=batch_id,
-                    watermark=max_seq,
-                    op_col=None,  # tombstone pattern: deletes are flagged upserts
-                    order_cols=["warc_ts", "seq"],
-                    extra_summary={"n_events": n_events, "n_quarantined": n_quarantined},
-                )
-        finally:
-            ev.unpersist()
+        got = obs.get
+        n_events, max_seq = got["n"], got["max_seq"]
+        n_quarantined = int(got["nq"] or 0)
+
+        if n_quarantined:
+            q = events.withColumn("__q_err", check_quarantine_udf()(F.col("html"))).filter(
+                F.col("__q_err").isNotNull()
+            )
+            self._write_quarantine(q, batch_id)
+
+        if self.sink_mode == "mor":
+            self._applied_since_compact += 1
+            if self._applied_since_compact >= self.compact_every:
+                self.table.compact(self._resolve_latest)
+                self._applied_since_compact = 0
 
         stats = {
             "batch_id": batch_id,
             "skipped": bool(res.get("skipped")),
             "n_events": int(n_events or 0),
             "n_quarantined": int(n_quarantined),
-            "min_seq": int(stats_row["min_seq"]) if stats_row["min_seq"] is not None else None,
+            "min_seq": int(got["min_seq"]) if got["min_seq"] is not None else None,
             "max_seq": int(max_seq) if max_seq is not None else None,
             "table_version": res.get("version"),
             "rows_after": res.get("rows_after"),

@@ -61,8 +61,14 @@ def synthetic_events(
     delete_pct: int = 8,
     quarantine_per_mille: int = 2,
     n_hosts: int | None = None,
+    body_words: int = 12,
 ) -> DataFrame:
-    """Deterministic skewed CDC event stream (all-JVM generation)."""
+    """Deterministic skewed CDC event stream (all-JVM generation).
+
+    ``body_words`` sizes the html payload (≈7 bytes/word): tests use the
+    small default; benchmarks use O(1000) words ≈ 8 KB/page to match real
+    Common-Crawl page sizes, so extraction/decode dominate like they would
+    in production."""
     n_hot = max(1, int(n_urls * hot_url_fraction))
     n_cold = max(1, n_urls - n_hot)
     n_hosts = n_hosts or max(1, n_urls // 20)
@@ -97,6 +103,13 @@ def synthetic_events(
     )
 
     word = F.concat(F.lit("w"), F.pmod(_h(seq, seed, 6), F.lit(99991)).cast("string"))
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(body_words)),
+            lambda i: F.concat(F.lit("t"), F.pmod(F.xxhash64(F.lit(seed), seq, i), F.lit(99991)).cast("string")),
+        ),
+    )
     good_html = F.concat(
         F.lit("<html><head><title>Page "),
         url_id.cast("string"),
@@ -106,7 +119,9 @@ def synthetic_events(
         seq.cast("string"),
         F.lit(" &amp; token "),
         word,
-        F.lit(" &lt;ok&gt;</p><script>var x=1;</script></body></html>"),
+        F.lit(" &lt;ok&gt;</p><p>"),
+        body,
+        F.lit("</p><script>var x=1;</script></body></html>"),
     )
     bad = F.unhex(F.lit("FF" * 48))  # 48 invalid-utf8 bytes -> quarantined
     is_bad = F.pmod(_h(seq, seed, 7), F.lit(1000)) < quarantine_per_mille
