@@ -50,11 +50,23 @@ def make_session(cores: int):
 
     # local mode shares one JVM heap across driver+executors: size it for
     # 8 KB-page Arrow batches or GC (GCLocker) serializes the UDF path
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    extra = {
+        # 8 KB pages × 10k rows = 80 MB Arrow batches become G1 humongous
+        # allocations; keep batches ≤ ~16 MB
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    }
+    shm = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/spark_graft")
+    if os.path.isdir(os.path.dirname(shm) or "/"):
+        os.makedirs(shm, exist_ok=True)
+        # shuffle/spill on tmpfs: isolates engine throughput from sandbox
+        # virtual-disk writeback jitter (real clusters use local NVMe)
+        extra["spark.local.dir"] = os.path.join(shm, "local")
     return build_session(
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(cores, 8),
+        extra_conf=extra,
     )
 
 
@@ -69,7 +81,9 @@ def run_cdc_apply(spark, n_events: int, epochs_per_batch: int = 5) -> dict:
     from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
     from cosmwasm_etl_spark.sources.eventlog import synthetic_events, write_event_log
 
-    work = tempfile.mkdtemp(prefix="bench_cdc_")
+    stage_root = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/spark_graft")
+    os.makedirs(stage_root, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bench_cdc_", dir=stage_root)
     try:
         events_dir = os.path.join(work, "events")
         n_urls = max(n_events // 20, 1000)
@@ -80,6 +94,9 @@ def run_cdc_apply(spark, n_events: int, epochs_per_batch: int = 5) -> dict:
         write_event_log(gen, events_dir, range_partitions=max(CPUS, 8))
         events = spark.read.parquet(events_dir)
 
+        from cosmwasm_etl_spark.session import warm_python_workers
+
+        warm_python_workers(spark)  # exclude one-time worker spin-up from throughput
         table = create_pages_table(spark, os.path.join(work, "pages"), num_buckets=max(CPUS, 16))
         pipe = CdcPipeline(
             spark, table, os.path.join(work, "work"),
@@ -111,7 +128,45 @@ def run_queries(spark) -> dict[str, float]:
     return times
 
 
+def _cdc_only(cores: int, n_events: int) -> None:
+    """Subprocess entry: one CDC apply run in a FRESH JVM (scaling runs must
+    not share a JVM — a stopped SparkSession leaves its heap behind and the
+    second run measures GC debt, not throughput)."""
+    s = make_session(cores)
+    try:
+        print(json.dumps(run_cdc_apply(s, n_events)))
+    finally:
+        s.stop()
+
+
+def _run_scaling(small_cores: int, large_cores: int, n_events: int) -> dict:
+    import subprocess
+
+    eps = {}
+    for cores in (small_cores, large_cores):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cores)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cdc-only", str(cores), str(n_events)],
+            capture_output=True, text=True, env=env, timeout=1800,
+        )
+        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        eps[cores] = json.loads(line)["events_per_sec"]
+    eff = (eps[large_cores] / eps[small_cores]) / (large_cores / small_cores)
+    return {
+        "cores_small": small_cores,
+        "eps_small": eps[small_cores],
+        "cores_large": large_cores,
+        "eps_large": eps[large_cores],
+        "efficiency": round(eff, 3),
+    }
+
+
 def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--cdc-only":
+        _cdc_only(int(sys.argv[2]), int(sys.argv[3]))
+        return
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out: dict = {"sf": sf}
 
@@ -125,23 +180,7 @@ def main() -> None:
         spark.stop()
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        small_cores, large_cores = max(CPUS // 4, 2), CPUS
-        eps = {}
-        for cores in (small_cores, large_cores):
-            s = make_session(cores)
-            try:
-                r = run_cdc_apply(s, N_SCALING_EVENTS)
-                eps[cores] = r["events_per_sec"]
-            finally:
-                s.stop()
-        eff = (eps[large_cores] / eps[small_cores]) / (large_cores / small_cores)
-        out["scaling"] = {
-            "cores_small": small_cores,
-            "eps_small": eps[small_cores],
-            "cores_large": large_cores,
-            "eps_large": eps[large_cores],
-            "efficiency": round(eff, 3),
-        }
+        out["scaling"] = _run_scaling(max(CPUS // 4, 2), CPUS, N_SCALING_EVENTS)
 
     out["metric"] = "cdc_apply_events_per_sec_plus_headline_queries"
     out["unit"] = "sec"

@@ -52,3 +52,24 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, parallelism: int | None = None) -> None:
+    """Start (and warm) one Python/Arrow worker per core before timing or
+    serving: the FIRST pandas-UDF stage in a session pays a multi-second
+    one-time worker spin-up (measured ~40s at 32 cores for an 8 KB-payload
+    stage) which would otherwise be misattributed to throughput."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    n = parallelism or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _noop(x):
+        return x
+
+    # set real type objects: `from __future__ import annotations` would
+    # stringify inline hints and break pandas_udf type inference
+    _noop.__annotations__ = {"x": pd.Series, "return": pd.Series}
+    udf = pandas_udf(_noop, "long")
+    spark.range(n * 4).repartition(n).select(F.sum(udf(F.col("id")))).collect()
