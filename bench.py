@@ -101,6 +101,7 @@ def run_cdc_apply(spark, n_events: int, epochs_per_batch: int = 5) -> dict:
         pipe = CdcPipeline(
             spark, table, os.path.join(work, "work"),
             sink_mode=os.environ.get("SPARK_GRAFT_SINK_MODE", "mor"),
+            quarantine_mode="deferred",
         )
         t0 = time.time()
         pipe.run_replay(events, epochs_per_batch=epochs_per_batch)

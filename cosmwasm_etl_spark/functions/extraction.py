@@ -115,6 +115,84 @@ def extract_text_udf():
     return _udf
 
 
+def extract_text_bytes_v2(data: bytes | None) -> tuple[str, str | None]:
+    """Parser version 2 (M5 analog — the reference dispatches mapper
+    versions by height, `parser/dex/dezswap/pair.mappers.go:41-58`,
+    `MainnetV2Height` in `pkg/dex/dezswap/consts.go`): v1 rules plus
+    stripping of <noscript>/<template> blocks."""
+    if data is None or len(data) == 0:
+        return "", None
+    raw = bytes(data).decode("utf-8", errors="replace")
+    if raw:
+        ratio = raw.count("�") / len(raw)
+        if ratio > _MAX_REPLACEMENT_RATIO:
+            return "", "invalid_encoding"
+    s = re.sub(r"<(noscript|template)\b[^>]*>.*?</\1\s*>", " ", raw, flags=re.I | re.S)
+    s = _RE_SCRIPT_STYLE.sub(" ", s)
+    s = _RE_COMMENT.sub(" ", s)
+    s = _RE_TAG.sub(" ", s)
+    s = _RE_TAG_UNCLOSED.sub(" ", s)
+    s = _html.unescape(s)
+    s = _RE_WS.sub(" ", s).strip()
+    return s, None
+
+
+_EXTRACTORS = {1: extract_text_bytes, 2: extract_text_bytes_v2}
+
+
+@_functools.lru_cache(maxsize=4)
+def extract_text_udf_v(version: int = 1):
+    core = _EXTRACTORS[version]
+    ret = T.StructType(
+        [T.StructField("text", T.StringType()), T.StructField("err", T.StringType())]
+    )
+
+    @pandas_udf(ret)
+    def _udf(html_col: pd.Series) -> pd.DataFrame:
+        texts, errs = [], []
+        for v in html_col:
+            t, e = core(v)
+            texts.append(t)
+            errs.append(e)
+        return pd.DataFrame({"text": texts, "err": errs})
+
+    return _udf
+
+
+def with_extracted_text_versioned(
+    df,
+    version_boundaries: list[tuple[int, int]],
+    epoch_col: str = "epoch",
+    html_col: str = "html",
+    out_text: str = "text",
+    out_err: str = "__extract_err",
+):
+    """Version-dispatched extraction (M5): ``version_boundaries`` is a sorted
+    list of (from_epoch, version); rows pick the version whose boundary is
+    the greatest ≤ their epoch. Implemented as filter+union slices (NOT a
+    ``when`` over two UDF columns — Catalyst evaluates python UDFs
+    unconditionally, so a conditional would run every version on every row).
+    """
+    bounds = sorted(version_boundaries)
+    parts = []
+    for i, (from_epoch, version) in enumerate(bounds):
+        upper = bounds[i + 1][0] if i + 1 < len(bounds) else None
+        sl = df.filter(F.col(epoch_col) >= F.lit(from_epoch))
+        if upper is not None:
+            sl = sl.filter(F.col(epoch_col) < F.lit(upper))
+        tmp = "__extract_struct"
+        parts.append(
+            sl.withColumn(tmp, extract_text_udf_v(version)(F.col(html_col)))
+            .withColumn(out_text, F.col(f"{tmp}.text"))
+            .withColumn(out_err, F.col(f"{tmp}.err"))
+            .drop(tmp)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def with_extracted_text(df, html_col: str = "html", out_text: str = "text", out_err: str = "__extract_err"):
     """Attach extracted text + error column in one projection.
 

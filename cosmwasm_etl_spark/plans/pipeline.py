@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from cosmwasm_etl_spark.functions.extraction import check_quarantine_udf, with_extracted_text
+from cosmwasm_etl_spark.functions.extraction import (
+    check_quarantine_udf,
+    with_extracted_text,
+    with_extracted_text_versioned,
+)
 from cosmwasm_etl_spark.lakehouse import LakeTable
 from cosmwasm_etl_spark.operators.dedup_window import latest_wins_agg, latest_wins_window
 from cosmwasm_etl_spark.operators.validation import full_outer_diff
@@ -79,6 +83,8 @@ class CdcPipeline:
         salt_buckets: int | None = 16,
         sink_mode: str = "cow",
         compact_every: int = 8,
+        extract_versions: list[tuple[int, int]] | None = None,
+        quarantine_mode: str = "batch",
     ):
         """``sink_mode``:
 
@@ -105,6 +111,17 @@ class CdcPipeline:
         self.sink_mode = sink_mode
         self.compact_every = compact_every
         self._applied_since_compact = 0
+        # M5 version dispatch: [(from_epoch, extractor_version), ...]
+        self.extract_versions = sorted(extract_versions) if extract_versions else None
+        if quarantine_mode not in ("batch", "deferred"):
+            raise ValueError(f"unknown quarantine_mode: {quarantine_mode}")
+        # "batch": dead-letter rows are spilled within each micro-batch (the
+        # reference's per-height behavior). "deferred": run_replay captures
+        # them in ONE pass at the end — halves the per-batch scan count; the
+        # reference itself only *retries* quarantine on startup/periodically
+        # (`parser/dex/dex.go:93-100`), so capture lag is semantically safe:
+        # raw events remain in the immutable log either way.
+        self.quarantine_mode = quarantine_mode
 
     # ------------------------------------------------------------ single batch
 
@@ -163,14 +180,29 @@ class CdcPipeline:
         )
         valid = fast.unionByName(slow.filter(F.col("__q_err").isNull()).drop("__q_err"))
         winners = self._dedup(valid)
-        extracted = with_extracted_text(winners, html_col="html", out_text="text")
+        if self.extract_versions:
+            extracted = with_extracted_text_versioned(
+                winners, self.extract_versions, epoch_col="epoch", html_col="html", out_text="text"
+            )
+        else:
+            extracted = with_extracted_text(winners, html_col="html", out_text="text")
         # the cheap pre-check and the full extraction share one validity
         # rule (tested byte-identical) — extraction runs exactly once, on
         # dedup winners only; the filter below is defensive.
-        batch = extracted.filter(F.col("__extract_err").isNull()).select(
-            "url", "warc_ts", "html", "text", "lang", "seq",
-            (F.col("op") == "delete").alias("deleted"),
+        ok = extracted.filter(F.col("__extract_err").isNull()).withColumn(
+            "deleted", F.col("op") == "delete"
         )
+        # dynamic projection to the CURRENT table schema: evolved columns
+        # come from the event payload when present, NULL otherwise (the
+        # read-side half lives in lakehouse.schema.align_to)
+        cur_schema = self.table.state().schema.to_spark()
+        cols = []
+        for f in cur_schema.fields:
+            if f.name in ok.columns:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        batch = ok.select(*cols)
 
         def _merged_obs() -> dict:
             f, sl = obs_fast.get, obs_slow.get
@@ -210,17 +242,8 @@ class CdcPipeline:
         n_events, max_seq = got["n"], got["max_seq"]
         n_quarantined = int(got["nq"] or 0)
 
-        if n_quarantined:
-            # recompute only the dead-letter slice: a JVM-side utf8-validity
-            # prefilter (strict superset of the python ratio rule) prunes
-            # ~99.8% of rows before any byte crosses to Python
-            candidates = events.filter(
-                (F.length("html") > 0) & ~F.is_valid_utf8(F.col("html"))
-            )
-            q = candidates.withColumn(
-                "__q_err", check_quarantine_udf()(F.col("html"))
-            ).filter(F.col("__q_err").isNotNull())
-            self._write_quarantine(q, batch_id)
+        if n_quarantined and self.quarantine_mode == "batch":
+            self._capture_quarantine(events, batch_id)
 
         if self.sink_mode == "mor":
             self._applied_since_compact += 1
@@ -241,6 +264,16 @@ class CdcPipeline:
         }
         self._write_lineage(stats)
         return stats
+
+    def _capture_quarantine(self, events: DataFrame, batch_id: int) -> int:
+        """Recompute only the dead-letter slice: a JVM-side utf8-validity
+        prefilter (strict superset of the python ratio rule) prunes ~99.8%
+        of rows before any byte crosses to Python."""
+        candidates = events.filter((F.length("html") > 0) & ~F.is_valid_utf8(F.col("html")))
+        q = candidates.withColumn("__q_err", check_quarantine_udf()(F.col("html"))).filter(
+            F.col("__q_err").isNotNull()
+        )
+        return self._write_quarantine(q, batch_id)
 
     def _write_quarantine(self, df: DataFrame, batch_id: int, suffix: str = "") -> int:
         """Dead-letter store (T8): raw payload preserved; per-batch directory
@@ -279,12 +312,44 @@ class CdcPipeline:
 
     # ------------------------------------------------------------ batch replay
 
-    def run_replay(self, events: DataFrame, epochs_per_batch: int = 10) -> list[dict]:
+    def _ensure_evolutions(self, upto_epoch: int, evolutions: list[tuple[int, str, dict]]) -> None:
+        """Apply pending schema evolutions whose boundary epoch ≤ upto_epoch.
+
+        Idempotent by inspection (a restarted replay re-walks the list but
+        skips already-applied steps), so evolution lands at the SAME epoch
+        boundary on every replay — SURVEY §7.4.5 / the reference's
+        migration-at-version semantics."""
+        st = self.table.state()
+        names = st.schema.names()
+        types = {f.name: f.type for f in st.schema.fields}
+        for at_epoch, change, spec in sorted(evolutions):
+            if at_epoch > upto_epoch:
+                break
+            applied = (
+                (change == "add_column" and spec["name"] in names)
+                or (change == "rename_column" and spec["new"] in names)
+                or (change == "widen_type" and types.get(spec["name"]) == spec["to"])
+            )
+            if not applied:
+                self.table.evolve_schema(change, spec)
+                st = self.table.state()
+                names = st.schema.names()
+                types = {f.name: f.type for f in st.schema.fields}
+
+    def run_replay(
+        self,
+        events: DataFrame,
+        epochs_per_batch: int = 10,
+        schema_evolutions: list[tuple[int, str, dict]] | None = None,
+    ) -> list[dict]:
         """Replay the whole event log in deterministic micro-batches.
 
         Batch boundaries: ``batch_id = epoch // epochs_per_batch`` — a pure
         function of config, so a restarted replay forms the SAME batches and
         the epoch-idempotency check skips completed ones (T2 exactly-once).
+
+        ``schema_evolutions``: [(at_epoch, change, spec), ...] applied at the
+        same epoch boundary on every (re)play (FIXTURES.md §4).
         """
         bounds = events.agg(F.min("epoch"), F.max("epoch")).collect()[0]
         if bounds[0] is None:
@@ -293,12 +358,20 @@ class CdcPipeline:
         done = self.table.committed_epochs()
         all_stats = []
         for b in range(first_b, last_b + 1):
+            lo, hi = b * epochs_per_batch, (b + 1) * epochs_per_batch
+            if schema_evolutions:
+                self._ensure_evolutions(lo, schema_evolutions)
             if b in done:
                 all_stats.append({"batch_id": b, "skipped": True})
                 continue
-            lo, hi = b * epochs_per_batch, (b + 1) * epochs_per_batch
             chunk = events.filter((F.col("epoch") >= lo) & (F.col("epoch") < hi))
             all_stats.append(self.apply_batch(chunk, b))
+        if self.quarantine_mode == "deferred" and any(
+            s.get("n_quarantined") for s in all_stats
+        ):
+            # single amortized dead-letter pass over the replayed range,
+            # idempotently keyed by the last batch id
+            self._capture_quarantine(events, last_b)
         return all_stats
 
     # ------------------------------------------------------------ reads
@@ -308,14 +381,19 @@ class CdcPipeline:
         return latest_wins_agg(df, key="url", order_cols=["warc_ts", "seq"])
 
     def pages(self) -> DataFrame:
-        """Active (non-tombstoned) pages in the canonical input_hint shape.
+        """Active (non-tombstoned) pages: canonical input_hint columns plus
+        ``seq`` and any schema-evolved columns.
 
         In COW mode the table already holds one row per key; in MOR mode the
         read resolves latest-wins across un-compacted deltas first."""
         df = self.table.read()
         if self.sink_mode == "mor":
             df = self._resolve_latest(df)
-        return df.filter(~F.col("deleted")).select(*PAGE_COLUMNS, "seq")
+        out_cols = [c for c in df.columns if c != "deleted"]
+        return df.filter(~F.col("deleted")).select(*out_cols)
+
+    # alias kept for clarity in evolution tests
+    pages_evolved = pages
 
     def vacuum_tombstones(self, older_than_ts: str, epoch: int | None = None) -> dict:
         """Retention pass (S12 analog): physically drop tombstones older than
