@@ -149,36 +149,27 @@ class CdcPipeline:
         t0 = time.time()
         from pyspark.sql import Observation
 
-        # Validity split, JVM-first: bytes that are empty or valid UTF-8 have
-        # replacement-ratio 0 by definition, so the (python) ratio rule can
-        # only fire on invalid-UTF-8 payloads — ~0.2% of events. The fast
-        # path never crosses to Python (the Arrow channel is the scaling
-        # bottleneck: its throughput is flat in cores); the slow path runs
-        # the exact python rule on the tiny residue. Semantics are identical
-        # to running check_quarantine_udf on every row (python rule stays the
+        # Validity check, JVM-first with a masked python residue: bytes that
+        # are empty or valid UTF-8 have replacement-ratio 0 by definition, so
+        # the (python) ratio rule can only fire on invalid-UTF-8 payloads —
+        # ~0.2% of events. The UDF input is MASKED to NULL for fast rows, so
+        # only the residue's bytes ever cross the Arrow channel (the channel,
+        # not python CPU, is the scaling bottleneck), in ONE scan — no
+        # two-branch union, no double read. Semantics are identical to
+        # running check_quarantine_udf on every row (python rule stays the
         # byte-level arbiter; tested).
         is_ok_fast = (F.length("html") == F.lit(0)) | F.is_valid_utf8(F.col("html"))
+        masked = F.when(~is_ok_fast, F.col("html"))  # NULL for fast rows
 
-        obs_fast = Observation(f"cdc-batch-{batch_id}-fast")
-        fast = events.filter(is_ok_fast).observe(
-            obs_fast,
+        obs = Observation(f"cdc-batch-{batch_id}")
+        ev = events.withColumn("__q_err", check_quarantine_udf()(masked)).observe(
+            obs,
             F.count(F.lit(1)).alias("n"),
             F.max("seq").alias("max_seq"),
             F.min("seq").alias("min_seq"),
+            F.count("__q_err").alias("nq"),
         )
-        obs_slow = Observation(f"cdc-batch-{batch_id}-slow")
-        slow = (
-            events.filter(~is_ok_fast)
-            .withColumn("__q_err", check_quarantine_udf()(F.col("html")))
-            .observe(
-                obs_slow,
-                F.count(F.lit(1)).alias("n"),
-                F.max("seq").alias("max_seq"),
-                F.min("seq").alias("min_seq"),
-                F.count("__q_err").alias("nq"),
-            )
-        )
-        valid = fast.unionByName(slow.filter(F.col("__q_err").isNull()).drop("__q_err"))
+        valid = ev.filter(F.col("__q_err").isNull()).drop("__q_err")
         winners = self._dedup(valid)
         if self.extract_versions:
             extracted = with_extracted_text_versioned(
@@ -205,14 +196,12 @@ class CdcPipeline:
         batch = ok.select(*cols)
 
         def _merged_obs() -> dict:
-            f, sl = obs_fast.get, obs_slow.get
-            seqs_max = [x for x in (f["max_seq"], sl["max_seq"]) if x is not None]
-            seqs_min = [x for x in (f["min_seq"], sl["min_seq"]) if x is not None]
+            got = obs.get
             return {
-                "n": int(f["n"] or 0) + int(sl["n"] or 0),
-                "max_seq": max(seqs_max) if seqs_max else None,
-                "min_seq": min(seqs_min) if seqs_min else None,
-                "nq": int(sl["nq"] or 0),
+                "n": int(got["n"] or 0),
+                "max_seq": got["max_seq"],
+                "min_seq": got["min_seq"],
+                "nq": int(got["nq"] or 0),
             }
 
         def _observed_summary() -> dict:
