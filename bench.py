@@ -30,7 +30,7 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CDC_EVENTS = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "1000000"))
-N_SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "500000"))
+N_SCALING_EVENTS = int(os.environ.get("SPARK_GRAFT_SCALING_EVENTS", "2000000"))
 
 HEADLINE = [
     "latest_per_key",
