@@ -236,6 +236,39 @@ WHERE (a.user_id IS NULL) OR (e.user_id IS NULL) OR (e.n IS DISTINCT FROM a.n)
 """
 
 
+def q_net_position(spark, sf_dir):
+    """A7 net-position account stats with conditional sums + greatest
+    (`pkg/db/parser/repository.go:462-533`, greatest at `:521`)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), F.lit(0.0)), 6).alias("sum_purchase"),
+            F.round(F.coalesce(F.sum(F.when(F.col("event_type") == "click", F.col("value"))), F.lit(0.0)), 6).alias("sum_click"),
+        )
+        .select(
+            "user_id", "sum_purchase", "sum_click",
+            F.round(F.col("sum_purchase") - F.col("sum_click"), 6).alias("net"),
+            F.greatest("sum_purchase", "sum_click").alias("max_side"),
+        )
+    )
+
+
+SQL_NET_POSITION = """
+WITH g AS (
+  SELECT user_id,
+         round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 6) AS sum_purchase,
+         round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0.0), 6) AS sum_click
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1
+)
+SELECT user_id, sum_purchase, sum_click,
+       round(sum_purchase - sum_click, 6) AS net,
+       greatest(sum_purchase, sum_click) AS max_side
+FROM g
+"""
+
+
 # =====================================================================
 # TPC-H-shaped operators (J1/J2/J7, A2/A3/A8, P3-P6)
 # =====================================================================
@@ -532,6 +565,7 @@ QUERIES = {
     "group_top1": q_group_top1,
     "dedup_anti_join": q_dedup_anti_join,
     "full_outer_validation": q_full_outer_validation,
+    "net_position": q_net_position,
     "pricing_summary": q_pricing_summary,
     "parts_revenue": q_parts_revenue,
     "semi_join_orders": q_semi_join_orders,
@@ -556,6 +590,7 @@ ORACLES = {
     "group_top1": SQL_GROUP_TOP1,
     "dedup_anti_join": SQL_DEDUP_ANTI_JOIN,
     "full_outer_validation": SQL_FULL_OUTER_VALIDATION,
+    "net_position": SQL_NET_POSITION,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "parts_revenue": SQL_PARTS_REVENUE,
     "semi_join_orders": SQL_SEMI_JOIN_ORDERS,

@@ -60,6 +60,37 @@ def enumerate_routes(
     return out
 
 
+def best_route(
+    candidates: list[dict],
+    liquidity_threshold: float = 0.0,
+) -> dict | None:
+    """Optimal-route selection — G3/G4 analog
+    (`/root/reference/pkg/dex/price/price.go:296-408`; threshold check at
+    `:396`): among candidate routes (each {"route": [...], "liquidities":
+    [per-hop floats], "price": float}), drop routes whose weakest hop is
+    below ``liquidity_threshold``, then pick by comparing the ascending-
+    sorted per-hop liquidity vectors lexicographically (greater weakest hop
+    wins), tie-breaking on lower price, then fewer hops, then lexicographic
+    route — fully deterministic.
+    """
+    eligible = [
+        c for c in candidates if c["liquidities"] and min(c["liquidities"]) >= liquidity_threshold
+    ]
+    if not eligible:
+        return None
+
+    def key(c: dict):
+        liq = sorted(c["liquidities"])  # weakest hop first
+        return (
+            [-x for x in liq],  # larger liquidity sorts first
+            c["price"],
+            len(c["route"]),
+            c["route"],
+        )
+
+    return min(eligible, key=key)
+
+
 def routes_df(spark, edges: Iterable[tuple[str, str]], max_hops: int = MAX_ROUTE_HOP_COUNT):
     """Route dimension table (src, dst, route string, hops) — broadcast-sized."""
     rows = [

@@ -118,6 +118,30 @@ def test_multimodal_feature_plumbing(spark):
     assert all(again[r.media_id] == r.sha256 for r in rows)
 
 
+def test_best_route_comparator():
+    from cosmwasm_etl_spark.routing import best_route
+
+    cands = [
+        {"route": ["a", "b", "c"], "liquidities": [5.0, 2.0], "price": 1.1},
+        {"route": ["a", "c"], "liquidities": [3.0], "price": 1.2},
+        {"route": ["a", "d", "c"], "liquidities": [3.0, 9.0], "price": 1.0},
+    ]
+    # weakest hops: 2.0 vs 3.0 vs 3.0 -> first route loses; among the
+    # weakest=3.0 routes the direct one wins (prefix-equal, shorter vector
+    # sorts first -> fewer hops preferred on equal weakest liquidity)
+    best = best_route(cands)
+    assert best["route"] == ["a", "c"]
+    # threshold removes weak-hop routes entirely
+    best2 = best_route(cands, liquidity_threshold=4.0)
+    assert best2 is None
+    # price tie-break
+    tie = [
+        {"route": ["a", "b"], "liquidities": [3.0], "price": 1.5},
+        {"route": ["a", "c"], "liquidities": [3.0], "price": 1.2},
+    ]
+    assert best_route(tie)["route"] == ["a", "c"]
+
+
 def test_routing_bounded_dfs():
     edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
     routes = enumerate_routes(edges, max_hops=2)
