@@ -1,0 +1,69 @@
+"""Physical-plan assertions: the optimizations the engine relies on at the
+100 TB design point must actually appear in the plans Catalyst produces —
+predicate pushdown to the parquet scan, column pruning, broadcast joins for
+dims, map-side partial aggregation for latest-wins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cosmwasm_etl_spark.operators.dedup_window import latest_wins_agg
+from cosmwasm_etl_spark.queries import q_parts_revenue, q_semi_join_orders
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_and_pruning(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") < "2024-06-01").select("l_orderkey", "l_quantity")
+    plan = _formatted(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # pruned read schema: only the 3 referenced columns reach the scan
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(q_parts_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_is_broadcast_semi(spark, sf_dir):
+    plan = _plan(q_semi_join_orders(spark, sf_dir))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_latest_wins_agg_has_partial_aggregation(spark, sf_dir):
+    """The skew story depends on map-side combine: the HashAggregate pair
+    (partial_max_by before the exchange, max_by after) must be present."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    plan = _plan(latest_wins_agg(ev, key="user_id", order_cols=["ts", "event_id"]))
+    lower = plan.lower()
+    assert "partial_max_by" in lower or "partial_maxby" in lower.replace("_", "")
+    assert "exchange hashpartitioning(user_id" in lower
+
+
+def test_event_scan_prunes_epochs_by_rowgroup_stats(spark, tmp_path):
+    """Epoch predicates must push to the parquet scan of the event log (the
+    per-batch slice read relies on row-group min/max skipping)."""
+    from cosmwasm_etl_spark.sources.eventlog import synthetic_events, write_event_log
+
+    ev = synthetic_events(spark, 10_000, n_urls=500, events_per_epoch=1_000)
+    write_event_log(ev, str(tmp_path / "ev"), range_partitions=4)
+    df = spark.read.parquet(str(tmp_path / "ev")).filter(
+        (F.col("epoch") >= 2) & (F.col("epoch") < 4)
+    )
+    plan = _formatted(df)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(epoch,2)" in plan
