@@ -45,9 +45,14 @@ def entry(spark: SparkSession) -> DataFrame:
         n_diff = pipe.audit(events).count()
         if n_diff != 0:
             raise AssertionError(f"replay-equivalence audit failed: {n_diff} divergent urls")
-        # materialize before deleting the backing files
-        rows = pipe.pages().select("url", "warc_ts", "text", "lang").orderBy("url").collect()
-        return spark.createDataFrame(rows, "url string, warc_ts timestamp, text string, lang string")
+        # materialize to parquet (kept for the session's lifetime) instead of
+        # round-tripping rows through the driver — the flagship path must
+        # stay distributed end-to-end
+        out_dir = tempfile.mkdtemp(prefix="spark_graft_entry_out_")
+        pipe.pages().select("url", "warc_ts", "text", "lang").write.mode("overwrite").parquet(
+            out_dir
+        )
+        return spark.read.parquet(out_dir).orderBy("url")
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -159,6 +159,41 @@ def extract_text_udf_v(version: int = 1):
     return _udf
 
 
+@_functools.lru_cache(maxsize=8)
+def _extract_dispatch_udf(bounds: tuple[tuple[int, int], ...]):
+    """One Arrow UDF that dispatches extractor version per row by epoch.
+
+    A filter+union per version would duplicate the whole upstream plan (and
+    any Observation node in it) once per version; a ``when`` over N UDF
+    columns would run every version on every row (Catalyst evaluates python
+    UDFs unconditionally). Dispatching INSIDE one UDF keeps the plan linear
+    and runs exactly one extractor per row. Rows before the first boundary
+    use the first version (the reference's default-mapper behavior,
+    `parser/dex/dezswap/pair.mappers.go:41-58`)."""
+    ret = T.StructType(
+        [T.StructField("text", T.StringType()), T.StructField("err", T.StringType())]
+    )
+
+    @pandas_udf(ret)
+    def _udf(html_col: pd.Series, epoch_col: pd.Series) -> pd.DataFrame:
+        n = len(html_col)
+        texts: list[str | None] = [""] * n
+        errs: list[str | None] = [None] * n
+        epochs = epoch_col.to_numpy()
+        for i in range(n):
+            e = int(epochs[i])
+            core = _EXTRACTORS[bounds[0][1]]
+            for from_epoch, version in bounds:
+                if e >= from_epoch:
+                    core = _EXTRACTORS[version]
+                else:
+                    break
+            texts[i], errs[i] = core(html_col.iloc[i])
+        return pd.DataFrame({"text": texts, "err": errs})
+
+    return _udf
+
+
 def with_extracted_text_versioned(
     df,
     version_boundaries: list[tuple[int, int]],
@@ -169,28 +204,15 @@ def with_extracted_text_versioned(
 ):
     """Version-dispatched extraction (M5): ``version_boundaries`` is a sorted
     list of (from_epoch, version); rows pick the version whose boundary is
-    the greatest ≤ their epoch. Implemented as filter+union slices (NOT a
-    ``when`` over two UDF columns — Catalyst evaluates python UDFs
-    unconditionally, so a conditional would run every version on every row).
-    """
-    bounds = sorted(version_boundaries)
-    parts = []
-    for i, (from_epoch, version) in enumerate(bounds):
-        upper = bounds[i + 1][0] if i + 1 < len(bounds) else None
-        sl = df.filter(F.col(epoch_col) >= F.lit(from_epoch))
-        if upper is not None:
-            sl = sl.filter(F.col(epoch_col) < F.lit(upper))
-        tmp = "__extract_struct"
-        parts.append(
-            sl.withColumn(tmp, extract_text_udf_v(version)(F.col(html_col)))
-            .withColumn(out_text, F.col(f"{tmp}.text"))
-            .withColumn(out_err, F.col(f"{tmp}.err"))
-            .drop(tmp)
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    the greatest ≤ their epoch."""
+    bounds = tuple(sorted(version_boundaries))
+    tmp = "__extract_struct"
+    return (
+        df.withColumn(tmp, _extract_dispatch_udf(bounds)(F.col(html_col), F.col(epoch_col)))
+        .withColumn(out_text, F.col(f"{tmp}.text"))
+        .withColumn(out_err, F.col(f"{tmp}.err"))
+        .drop(tmp)
+    )
 
 
 def with_extracted_text(df, html_col: str = "html", out_text: str = "text", out_err: str = "__extract_err"):

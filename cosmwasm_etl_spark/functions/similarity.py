@@ -15,8 +15,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+from pyspark.sql import Window
+
+
 def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Bounded top-k per query_id from (query_id, neighbor_id, cosine) rows.
+
+    Window ``row_number`` over (cosine DESC, neighbor_id DESC): the per-query
+    candidate set is SORT-spilled by the window exchange, never buffered in a
+    single aggregation array — with a corpus-sized candidate list per query a
+    ``collect_list`` buffer would be an executor OOM at scale, a sort is
+    disk-bounded. (Two-phase refinement if the per-query sort itself became
+    the bottleneck: pre-prune per input partition, then this window.)"""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").desc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def _norm(a):
@@ -55,26 +77,7 @@ def cosine_topk(
         )
         .select("query_id", "neighbor_id", "cosine")
     )
-    topk = (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("cosine"), F.col("neighbor_id"))), asc=False
-                ),
-                1,
-                k,
-            ).alias("nn")
-        )
-        .select("query_id", F.posexplode("nn").alias("rank0", "n"))
-        .select(
-            "query_id",
-            F.col("n.neighbor_id").alias("neighbor_id"),
-            F.col("n.cosine").alias("cosine"),
-            (F.col("rank0") + 1).alias("rank"),
-        )
-    )
-    return topk
+    return _topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -148,18 +151,4 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id", "cosine")
         .distinct()  # multiprobe can surface a pair via several buckets
     )
-    return (
-        scored.groupBy("query_id")
-        .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("cosine", "neighbor_id")), asc=False), 1, k
-            ).alias("nn")
-        )
-        .select("query_id", F.posexplode("nn").alias("rank0", "n"))
-        .select(
-            "query_id",
-            F.col("n.neighbor_id").alias("neighbor_id"),
-            F.col("n.cosine").alias("cosine"),
-            (F.col("rank0") + 1).alias("rank"),
-        )
-    )
+    return _topk_per_query(scored, k)

@@ -244,16 +244,19 @@ class LakeTable:
 
     # ------------------------------------------------------------------ write
 
-    def _write_files(self, df: DataFrame, st: TableState, n_parts: int) -> list[dict]:
-        """Write df (must carry __bucket) partitioned by bucket; return add-entries."""
+    def _write_files(
+        self, df: DataFrame, st: TableState, n_parts: int, pre_partitioned: bool = False
+    ) -> list[dict]:
+        """Write df (must carry __bucket) partitioned by bucket; return add-entries.
+
+        ``pre_partitioned=True`` skips the bucket repartition when the caller
+        already placed an explicit ``repartition(N, __bucket)`` upstream (so
+        the 8 KB html payloads cross exactly ONE exchange in the whole apply
+        path, not two)."""
         stage_rel = os.path.join("data", uuid.uuid4().hex)
         stage_abs = os.path.join(self.path, stage_rel)
-        (
-            df.repartition(max(n_parts, 1), F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
-            .mode("overwrite")
-            .parquet(stage_abs)
-        )
+        out = df if pre_partitioned else df.repartition(max(n_parts, 1), F.col(_BUCKET))
+        out.write.partitionBy(_BUCKET).mode("overwrite").parquet(stage_abs)
         entries: list[dict] = []
         todo: list[tuple[str, int]] = []
         for dirpath, _dirs, names in os.walk(stage_abs):
@@ -355,10 +358,44 @@ class LakeTable:
         data_cols = st.schema.names()
 
         batch_cols = [*data_cols] + ([op_col] if op_col else [])
-        b = batch.select(*batch_cols).withColumn(
+        b0 = batch.select(*batch_cols).withColumn(
             _BUCKET, self._bucket_expr(key, st.num_buckets)
         )
-        affected = sorted(r[0] for r in b.select(_BUCKET).distinct().collect())
+        # Stage the batch ONCE (the upstream plan may carry expensive pandas
+        # UDF extraction — it must execute exactly once per micro-batch).
+        # Affected buckets are read off the staged partitionBy directories,
+        # and the resolution join re-reads the cheap staged files instead of
+        # re-running the whole upstream pipeline.
+        stage_rel = os.path.join("stage", uuid.uuid4().hex)
+        stage_abs = os.path.join(self.path, stage_rel)
+        (
+            b0.repartition(max(st.num_buckets, 1), F.col(_BUCKET))
+            .write.partitionBy(_BUCKET)
+            .mode("overwrite")
+            .parquet(stage_abs)
+        )
+        affected = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(stage_abs)
+            if d.startswith(f"{_BUCKET}=")
+        )
+        if not affected:
+            # empty batch: commit only the epoch/watermark marker
+            import shutil as _sh
+
+            _sh.rmtree(stage_abs, ignore_errors=True)
+            v = st.version + 1
+            summary = {"epoch": epoch, "watermark": watermark, "rows_after": 0, "ts": time.time()}
+            if summary_fn is not None:
+                summary.update(summary_fn() or {})
+            summary.update(extra_summary or {})
+            self.log.write_commit(
+                v,
+                {"operation": "merge", "summary": summary, "schema": None, "add": [], "remove": []},
+            )
+            self._maybe_checkpoint(v)
+            return {"skipped": False, "version": v, "rows_after": 0}
+        b = self.spark.read.option("basePath", stage_abs).parquet(stage_abs)
         old_entries = [e for e in st.files.values() if e["bucket"] in set(affected)]
         untouched_note = len(st.files) - len(old_entries)
 
@@ -425,6 +462,9 @@ class LakeTable:
             },
         )
         self._maybe_checkpoint(v)
+        import shutil as _sh
+
+        _sh.rmtree(stage_abs, ignore_errors=True)
         return {"skipped": False, "version": v, "rows_after": summary["rows_after"]}
 
     def append_delta(
@@ -433,6 +473,7 @@ class LakeTable:
         epoch: int | None = None,
         watermark: int | None = None,
         summary_fn=None,
+        pre_partitioned: bool = False,
     ) -> dict:
         """Merge-on-read write path (LSM-style, the Hudi/Paimon MOR pattern):
         the batch is appended as bucketed *delta* files — O(batch) work, no
@@ -447,7 +488,7 @@ class LakeTable:
         dfb = df.select(*st.schema.names()).withColumn(
             _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
         )
-        adds = self._write_files(dfb, st, st.num_buckets)
+        adds = self._write_files(dfb, st, st.num_buckets, pre_partitioned=pre_partitioned)
         summary = {
             "epoch": epoch,
             "watermark": watermark,
@@ -505,14 +546,28 @@ class LakeTable:
         st = self.state()
         if epoch is not None and epoch in st.epochs:
             return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
+        # SQL DELETE semantics: only rows where the predicate is TRUE are
+        # deleted — NULL evaluations keep the row (coalesce to FALSE).
+        pred_true = F.coalesce(F.expr(predicate), F.lit(False))
         full = self.read().withColumn("__file", F.input_file_name())
         hit_files = [
-            r[0] for r in full.filter(F.expr(predicate)).select("__file").distinct().collect()
+            r[0] for r in full.filter(pred_true).select("__file").distinct().collect()
         ]
         if not hit_files:
             return {"skipped": False, "version": st.version, "removed_rows": 0}
-        hit_rel = {os.path.relpath(p.replace("file://", ""), self.path) for p in hit_files}
+        from urllib.parse import unquote, urlparse
+
+        def _to_rel(p: str) -> str:
+            # input_file_name() yields a percent-encoded file URI
+            local = unquote(urlparse(p).path) if "://" in p else p
+            return os.path.relpath(local, self.path)
+
+        hit_rel = {_to_rel(p) for p in hit_files}
         hit_entries = [e for e in st.files.values() if e["path"] in hit_rel]
+        if not hit_entries:
+            raise RuntimeError(
+                f"delete_where: matched files {sorted(hit_rel)} not present in table state"
+            )
         by_sv: dict[int, list[str]] = {}
         for e in hit_entries:
             by_sv.setdefault(e["schema_version"], []).append(os.path.join(self.path, e["path"]))
@@ -524,7 +579,7 @@ class LakeTable:
         old = parts[0]
         for p in parts[1:]:
             old = old.unionByName(p)
-        kept = old.filter(~F.expr(predicate)).withColumn(
+        kept = old.filter(~pred_true).withColumn(
             _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
         )
         adds = self._write_files(kept, st, max(len(hit_entries), 1))

@@ -68,6 +68,13 @@ PAGES_SCHEMA = T.StructType(
 
 PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
+# reserved ids outside the replay/streaming batch-id space (which is >= 0):
+# the deferred dead-letter capture directory, and the namespace offset for
+# quarantine-retry commit epochs (so a retry can never collide with — and
+# silently skip on — a regular batch epoch).
+_DEFERRED_BATCH_ID = -1
+_RETRY_EPOCH_BASE = -1000
+
 
 def create_pages_table(spark: SparkSession, path: str, num_buckets: int = 16) -> LakeTable:
     return LakeTable.create(spark, path, PAGES_SCHEMA, key_col="url", ts_col="warc_ts", num_buckets=num_buckets)
@@ -132,6 +139,27 @@ class CdcPipeline:
             df, key="url", order_cols=["warc_ts", "seq"], salt_buckets=self.salt_buckets
         )
 
+    def _winner_seqs(self, valid: DataFrame) -> DataFrame:
+        """Latest-wins winner selection on the KEY COLUMNS ONLY.
+
+        The W5 dedup itself needs just (url, warc_ts, seq) — three narrow
+        columns — so the aggregate's exchange moves ~24 B/event instead of
+        the full 8 KB html payload (333× less shuffle traffic; the payload is
+        fetched afterwards by a broadcast seq-join). ``seq`` is globally
+        unique, so the surviving seq set identifies winner rows exactly."""
+        keys = valid.select("url", "warc_ts", "seq")
+        return self._dedup(keys).select("seq")
+
+    def _fetch_winners(self, events: DataFrame, winner_seqs: DataFrame) -> DataFrame:
+        """Join the full-width events back to the winner seq set.
+
+        The seq set is one long column bounded by the micro-batch's distinct
+        key count (itself bounded by backpressure/epochs_per_batch), so the
+        broadcast is safe by construction; the events side is NEVER shuffled
+        — its 8 KB payloads stay in their scan partitions until the single
+        bucket repartition before the sink write."""
+        return events.join(F.broadcast(winner_seqs), "seq")
+
     def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
         """Apply one micro-batch of change events. Idempotent on batch_id.
 
@@ -170,13 +198,23 @@ class CdcPipeline:
             F.count("__q_err").alias("nq"),
         )
         valid = ev.filter(F.col("__q_err").isNull()).drop("__q_err")
-        winners = self._dedup(valid)
+        # Two-phase latest-wins: (1) winner selection on narrow key columns
+        # (the ONLY aggregate exchange — no html in it); (2) broadcast
+        # seq-join to fetch winner payloads; (3) ONE bucket repartition of
+        # winner rows only; (4) extraction AFTER the repartition, so the
+        # shuffled bytes are raw html, never html+text.
+        winner_seqs = self._winner_seqs(valid)
+        winners = self._fetch_winners(events, winner_seqs)
+        n_buckets = self.table.state().num_buckets
+        placed = winners.withColumn(
+            "__b", self.table._bucket_expr("url", n_buckets)
+        ).repartition(max(n_buckets, 1), F.col("__b")).drop("__b")
         if self.extract_versions:
             extracted = with_extracted_text_versioned(
-                winners, self.extract_versions, epoch_col="epoch", html_col="html", out_text="text"
+                placed, self.extract_versions, epoch_col="epoch", html_col="html", out_text="text"
             )
         else:
-            extracted = with_extracted_text(winners, html_col="html", out_text="text")
+            extracted = with_extracted_text(placed, html_col="html", out_text="text")
         # the cheap pre-check and the full extraction share one validity
         # rule (tested byte-identical) — extraction runs exactly once, on
         # dedup winners only; the filter below is defensive.
@@ -217,7 +255,9 @@ class CdcPipeline:
             }
 
         if self.sink_mode == "mor":
-            res = self.table.append_delta(batch, epoch=batch_id, summary_fn=_observed_summary)
+            res = self.table.append_delta(
+                batch, epoch=batch_id, summary_fn=_observed_summary, pre_partitioned=True
+            )
         else:
             res = self.table.merge_upserts(
                 batch,
@@ -355,12 +395,14 @@ class CdcPipeline:
                 continue
             chunk = events.filter((F.col("epoch") >= lo) & (F.col("epoch") < hi))
             all_stats.append(self.apply_batch(chunk, b))
-        if self.quarantine_mode == "deferred" and any(
-            s.get("n_quarantined") for s in all_stats
-        ):
-            # single amortized dead-letter pass over the replayed range,
-            # idempotently keyed by the last batch id
-            self._capture_quarantine(events, last_b)
+        if self.quarantine_mode == "deferred":
+            # single amortized dead-letter pass over the WHOLE log, written
+            # to one fixed directory — unconditional (a crash-restarted
+            # replay reports skipped batches with no n_quarantined, so
+            # gating on stats would silently drop the capture) and
+            # idempotent across re-replays over a grown log (same dir is
+            # overwritten; no per-last-batch duplicate directories).
+            self._capture_quarantine(events, _DEFERRED_BATCH_ID)
         return all_stats
 
     # ------------------------------------------------------------ reads
@@ -396,11 +438,18 @@ class CdcPipeline:
 
     def expected_state(self, events: DataFrame) -> DataFrame:
         """The replay oracle: latest non-deleted version per url, extracted.
-        (A6/T9 analog — `parser/dex/repo/repository.go:136-168`.)"""
-        valid = events.withColumn("__q_err", check_quarantine_udf()(F.col("html"))).filter(
+        (A6/T9 analog — `parser/dex/repo/repository.go:136-168`.)
+
+        Same physical shape as apply: masked single-scan validity check
+        (valid-utf8 rows never cross the Arrow channel), key-only winner
+        selection, broadcast seq-join payload fetch — the audit is the thing
+        run at scale over the FULL log, so it must not shuffle html either."""
+        is_ok_fast = (F.length("html") == F.lit(0)) | F.is_valid_utf8(F.col("html"))
+        masked = F.when(~is_ok_fast, F.col("html"))
+        valid = events.withColumn("__q_err", check_quarantine_udf()(masked)).filter(
             F.col("__q_err").isNull()
         ).drop("__q_err")
-        winners = latest_wins_agg(valid, key="url", order_cols=["warc_ts", "seq"])
+        winners = self._fetch_winners(events, self._winner_seqs(valid))
         alive = winners.filter(F.col("op") != "delete")
         return with_extracted_text(alive).filter(F.col("__extract_err").isNull()).select(
             "url", "warc_ts", "html", "text", "lang"
@@ -444,8 +493,14 @@ class CdcPipeline:
             "url", "warc_ts", "html", "text", "lang", "seq",
             (F.col("op") == "delete").alias("deleted"),
         )
+        # retry epochs live in their own id namespace (below _RETRY_EPOCH_BASE)
+        # so they can never collide with a replay/streaming batch epoch; a
+        # genuinely replayed retry is still skipped idempotently, but that is
+        # surfaced to the caller instead of silently reporting success.
+        retry_epoch = _RETRY_EPOCH_BASE - int(batch_id)
         res = self.table.merge_upserts(
-            batch, epoch=batch_id, op_col=None, order_cols=["warc_ts", "seq"]
+            batch, epoch=retry_epoch, op_col=None, order_cols=["warc_ts", "seq"]
         )
-        n_ok = ok.count()
-        return {"retried": int(q.count()), "resolved": int(n_ok), "merge": res}
+        if res.get("skipped"):
+            return {"retried": 0, "resolved": 0, "skipped": True, "merge": res}
+        return {"retried": int(q.count()), "resolved": int(ok.count()), "merge": res}

@@ -63,7 +63,7 @@ def q_first_event_per_key(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     first = first_per_key(ev, ["user_id"], ["ts", "event_id"])
     return first.filter(
-        (F.col("ts") >= "2024-01-10") & (F.col("ts") < "2024-01-20")
+        (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-16")
     ).select("user_id", "event_id", "ts", "event_type")
 
 
@@ -71,7 +71,7 @@ SQL_FIRST_EVENT_PER_KEY = """
 SELECT user_id, event_id, ts, event_type
 FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
       FROM events)
-WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+WHERE rn = 1 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-16'
 """
 
 
