@@ -1,0 +1,237 @@
+"""Price pipeline (G4) — per-height direct + route-mediated price series.
+
+Spark re-expression of the reference's price aggregator
+(`/root/reference/pkg/dex/price/price.go:79-294`):
+
+- a swap touching the base (price) token updates the counter-token's price
+  DIRECTLY from the swap amounts (`price.go:124-159`, ``calculatePrice``);
+- any other swap updates BOTH its tokens via the optimal route to the base
+  token (`price.go:196-294`): per route, the price is the product of
+  per-hop reserve ratios walked from the base end outward and the per-hop
+  liquidity (in base units) is ``2·reserve_base_side·price_so_far``
+  (`price.go:358-404`, ``calculateRoutePrice``), hops under the liquidity
+  threshold kill the route (`price.go:396``);
+- the swap-price fix rule (`price.go:235-243`): when the picked route of one
+  swap asset starts with the other asset, the second asset's price is fixed
+  from the swap amounts times the first asset's route price.
+
+Physical shape (100 TB design point): reserves are a per-(pair, height)
+cumulative aggregate (one shuffle on pair); the route table is enumerated
+driver-side (bounded dimension data — `routing.enumerate_routes`) and
+broadcast; hop scoring is a broadcast join reserves⨝hops; the optimal-route
+pick runs per (token, height) group through `routing.best_route` inside one
+``applyInPandas`` whose group size is bounded by routes×hops (≤ dozens of
+narrow rows) — never corpus-scale state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cosmwasm_etl_spark.routing import MAX_ROUTE_HOP_COUNT, best_route, enumerate_routes
+
+
+def reserves_by_height(swaps: DataFrame) -> DataFrame:
+    """Cumulative pair reserves per height from swap deposits.
+
+    ``swaps``: (a, b, height, a0, a1, swap_id) with (a, b) the pair's token
+    names (a < b) and a0/a1 the per-swap deposits on each side. Returns one
+    row per (pair × observed height) — heights with no swap carry the prior
+    reserves forward (the grid is pairs × heights; pairs are bounded
+    dimension data, heights are bounded per processing window).
+    """
+    per = swaps.groupBy("a", "b", "height").agg(
+        F.sum("a0").alias("d0"), F.sum("a1").alias("d1")
+    )
+    heights = swaps.select("height").distinct()
+    pairs = swaps.select("a", "b").distinct()
+    grid = pairs.crossJoin(F.broadcast(heights))
+    w = Window.partitionBy("a", "b").orderBy("height").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(per, ["a", "b", "height"], "left")
+        .select(
+            "a",
+            "b",
+            "height",
+            F.sum(F.coalesce(F.col("d0"), F.lit(0.0))).over(w).alias("r0"),
+            F.sum(F.coalesce(F.col("d1"), F.lit(0.0))).over(w).alias("r1"),
+        )
+    )
+
+
+def _hops_rows(edges: Iterable[tuple[str, str]], base: str, max_hops: int) -> list[tuple]:
+    """Flatten every route ending at ``base`` into per-hop rows:
+    (token, route_id, route_str, n_hops, hop_idx, frm, to, a, b) with
+    hop_idx 0 at the TOKEN end (the reference's route order) and (a, b)
+    the sorted pair key for the reserves join."""
+    rows: list[tuple] = []
+    rid = 0
+    for src, dst, route, hops in enumerate_routes(edges, max_hops):
+        if dst != base:
+            continue
+        for i in range(hops):
+            frm, to = route[i], route[i + 1]
+            a, b = (frm, to) if frm < to else (to, frm)
+            rows.append((src, rid, "->".join(route), hops, i, frm, to, a, b))
+        rid += 1
+    return rows
+
+
+def route_price_table(
+    spark: SparkSession,
+    reserves: DataFrame,
+    edges: Iterable[tuple[str, str]],
+    base: str,
+    threshold: float = 0.0,
+    max_hops: int = MAX_ROUTE_HOP_COUNT,
+) -> DataFrame:
+    """Optimal-route price per (token, height): (token, height, price, hops).
+
+    Candidates are scored per route (price = product of hop reserve ratios
+    from the base end outward, liquidity vector in base units, dead if any
+    hop side < ``threshold`` — `price.go:358-404`) and the winner is picked
+    by `routing.best_route` per (token, height) group.
+    """
+    rows = _hops_rows(edges, base, max_hops)
+    if not rows:
+        return spark.createDataFrame([], "token string, height long, price double, hops int")
+    hops_df = spark.createDataFrame(
+        rows,
+        "token string, route_id int, route string, n_hops int, hop_idx int, "
+        "frm string, to string, a string, b string",
+    )
+    joined = F.broadcast(hops_df).join(reserves, ["a", "b"]).select(
+        "token",
+        "height",
+        "route_id",
+        "route",
+        "n_hops",
+        "hop_idx",
+        F.when(F.col("frm") == F.col("a"), F.col("r0")).otherwise(F.col("r1")).alias("r_from"),
+        F.when(F.col("to") == F.col("a"), F.col("r0")).otherwise(F.col("r1")).alias("r_to"),
+    )
+    thr = float(threshold)
+
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        token = pdf["token"].iloc[0]
+        height = pdf["height"].iloc[0]
+        candidates = []
+        for (_rid, route_str, n_hops), g in pdf.groupby(["route_id", "route", "n_hops"]):
+            if len(g) != n_hops:
+                continue  # incomplete hop coverage at this height
+            g = g.sort_values("hop_idx", ascending=False)  # base end first
+            price = 1.0
+            liqs: list[float] = []
+            dead = False
+            for r_from, r_to in zip(g["r_from"].to_numpy(), g["r_to"].to_numpy()):
+                if r_from < thr or r_to < thr or r_from <= 0.0 or r_to <= 0.0:
+                    dead = True
+                    break
+                liqs.insert(0, 2.0 * float(r_to) * price)
+                price = float(r_to) / float(r_from) * price
+            if dead or price == 0.0:
+                continue
+            candidates.append(
+                {"route": route_str.split("->"), "liquidities": liqs, "price": price,
+                 "hops": int(n_hops)}
+            )
+        best = best_route(candidates, 0.0)
+        if best is None:
+            return pd.DataFrame({"token": [], "height": [], "price": [], "hops": []})
+        return pd.DataFrame(
+            {"token": [token], "height": [height], "price": [best["price"]],
+             "hops": [best["hops"]]}
+        )
+
+    return joined.groupBy("token", "height").applyInPandas(
+        _pick, "token string, height long, price double, hops int"
+    )
+
+
+def price_series(
+    swaps: DataFrame,
+    spark: SparkSession,
+    edges: Iterable[tuple[str, str]],
+    base: str,
+    threshold: float = 0.0,
+    max_hops: int = MAX_ROUTE_HOP_COUNT,
+) -> DataFrame:
+    """Per-height price rows (height, token, method, price) from a swap log.
+
+    ``swaps``: (a, b, height, a0, a1, swap_id) — emission per the reference's
+    ``Run`` loop (`price.go:79-105`): the last swap per (pair, height) is the
+    height's price-setting transaction.
+
+    - pair touching ``base`` → (counter_token, 'direct', amount ratio)
+      (`price.go:124-159`; base==a ⇒ isReverse ⇒ price = a0/a1);
+    - other pairs → both tokens priced via routes: the lower-route token gets
+      its optimal route price ('route'); the other gets the swap-price fix
+      ('route_fixed') = (own-side amount ratio) × counter token's route price
+      (`price.go:235-243` and the liquidity-fallback `price.go:250-284`).
+    """
+    reserves = reserves_by_height(swaps)
+    rpt = route_price_table(spark, reserves, edges, base, threshold, max_hops)
+
+    last = swaps.groupBy("a", "b", "height").agg(
+        F.max_by("a0", "swap_id").alias("a0l"), F.max_by("a1", "swap_id").alias("a1l")
+    )
+
+    direct = (
+        last.filter((F.col("a") == base) | (F.col("b") == base))
+        .select(
+            "height",
+            F.when(F.col("a") == base, F.col("b")).otherwise(F.col("a")).alias("token"),
+            F.lit("direct").alias("method"),
+            # isReverse (base is asset0) ⇒ a0/a1 else a1/a0 (price.go:166-172)
+            F.when(F.col("a") == base, F.col("a0l") / F.col("a1l"))
+            .otherwise(F.col("a1l") / F.col("a0l"))
+            .alias("price"),
+        )
+    )
+
+    indirect = last.filter((F.col("a") != base) & (F.col("b") != base))
+    # the route-priced side: the token whose optimal route is shorter gets
+    # the pure route price; the other side gets the amount-fixed price. Both
+    # joins are against the (token, height)-keyed route price table.
+    r_a = rpt.select(
+        F.col("token").alias("a"), "height",
+        F.col("price").alias("pa"), F.col("hops").alias("ha"),
+    )
+    r_b = rpt.select(
+        F.col("token").alias("b"), "height",
+        F.col("price").alias("pb"), F.col("hops").alias("hb"),
+    )
+    j = indirect.join(r_a, ["a", "height"], "left").join(r_b, ["b", "height"], "left")
+    # shorter-route side = anchor (the fix rule's len(route1) == len(route0)+1
+    # configuration); ties anchor on the a-side deterministically
+    a_anchor = F.col("pa").isNotNull() & (
+        F.col("pb").isNull() | (F.col("ha") <= F.col("hb"))
+    )
+    route_rows = (
+        j.filter(F.col("pa").isNotNull() | F.col("pb").isNotNull())
+        .select(
+            "height",
+            F.when(a_anchor, F.col("a")).otherwise(F.col("b")).alias("token"),
+            F.lit("route").alias("method"),
+            F.when(a_anchor, F.col("pa")).otherwise(F.col("pb")).alias("price"),
+        )
+    )
+    fixed_rows = (
+        j.filter(F.col("pa").isNotNull() | F.col("pb").isNotNull())
+        .select(
+            "height",
+            F.when(a_anchor, F.col("b")).otherwise(F.col("a")).alias("token"),
+            F.lit("route_fixed").alias("method"),
+            F.when(
+                a_anchor, F.col("a0l") / F.col("a1l") * F.col("pa")
+            ).otherwise(F.col("a1l") / F.col("a0l") * F.col("pb")).alias("price"),
+        )
+    )
+    return direct.unionByName(route_rows).unionByName(fixed_rows)

@@ -369,6 +369,80 @@ def q_routes(spark, sf_dir):
     return routes_df(spark, edges, max_hops=4)
 
 
+def q_price_series(spark, sf_dir):
+    """G4 price pipeline (`pkg/dex/price/price.go:79-294`): per-height direct
+    + route-mediated price series over a deterministic chain market derived
+    from events (tokens t0..t8, pair j = (t_j, t_{j+1}) = user_id % 8,
+    height = epoch-day, reserves = cumulative swap deposits). Exercises
+    direct pricing, route products, the liquidity threshold, and the
+    swap-price fix rule; multi-route optimal-pick parity is covered by
+    tests/test_price.py against routing.best_route."""
+    from cosmwasm_etl_spark.price import price_series
+
+    ev = _t(spark, sf_dir, "events")
+    pair = (F.col("user_id") % 8).cast("int")
+    sw = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("t"), pair.cast("string")).alias("a"),
+        F.concat(F.lit("t"), (pair + 1).cast("string")).alias("b"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("height"),
+        (F.col("value") + 1.0).alias("a0"),
+        ((F.col("value") + 1.0) * (1.0 + ((F.col("event_id") % 7) + 1) / 10.0)).alias("a1"),
+        F.col("event_id").alias("swap_id"),
+    )
+    edges = [(f"t{i}", f"t{i+1}") for i in range(8)]
+    out = price_series(sw, spark, edges, base="t0", threshold=2000.0, max_hops=8)
+    return out.select(
+        F.col("height").cast("long").alias("height"),
+        "token",
+        "method",
+        F.round("price", 4).alias("price"),
+    )
+
+
+SQL_PRICE_SERIES = """
+WITH swaps AS (
+  SELECT CAST(user_id % 8 AS INT) AS pair,
+         CAST(floor(epoch(ts)/86400) AS BIGINT) AS h,
+         value + 1.0 AS a0,
+         (value + 1.0) * (1.0 + (event_id % 7 + 1)/10.0) AS a1,
+         event_id
+  FROM events WHERE event_type = 'purchase'
+), per AS (
+  SELECT pair, h, sum(a0) d0, sum(a1) d1 FROM swaps GROUP BY 1, 2
+), grid AS (
+  SELECT p.pair, hh.h FROM (SELECT DISTINCT pair FROM swaps) p
+  CROSS JOIN (SELECT DISTINCT h FROM swaps) hh
+), res AS (
+  SELECT g.pair, g.h,
+         sum(coalesce(d0, 0)) OVER (PARTITION BY g.pair ORDER BY g.h) AS r0,
+         sum(coalesce(d1, 0)) OVER (PARTITION BY g.pair ORDER BY g.h) AS r1
+  FROM grid g LEFT JOIN per ON per.pair = g.pair AND per.h = g.h
+), rp AS (
+  SELECT pair AS k, h,
+         exp(sum(ln(CASE WHEN least(r0, r1) >= 2000.0 THEN r0/r1 ELSE 1.0 END))
+             OVER w) AS rpk,
+         min(least(r0, r1)) OVER w AS minres
+  FROM res
+  WINDOW w AS (PARTITION BY h ORDER BY pair
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), lastsw AS (
+  SELECT pair, h, arg_max(a0, event_id) a0l, arg_max(a1, event_id) a1l
+  FROM swaps GROUP BY 1, 2
+)
+SELECT h AS height, 't' || CAST(pair + 1 AS VARCHAR) AS token,
+       'direct' AS method, round(a0l/a1l, 4) AS price
+FROM lastsw WHERE pair = 0
+UNION ALL
+SELECT l.h, 't' || CAST(l.pair AS VARCHAR), 'route', round(rp.rpk, 4)
+FROM lastsw l JOIN rp ON rp.h = l.h AND rp.k = l.pair
+WHERE l.pair >= 1 AND rp.minres >= 2000.0
+UNION ALL
+SELECT l.h, 't' || CAST(l.pair + 1 AS VARCHAR), 'route_fixed', round(a0l/a1l*rp.rpk, 4)
+FROM lastsw l JOIN rp ON rp.h = l.h AND rp.k = l.pair
+WHERE l.pair >= 1 AND rp.minres >= 2000.0
+"""
+
+
 SQL_ROUTES = """
 WITH RECURSIVE edges AS (
   SELECT a.n_name AS src, b.n_name AS dst
@@ -570,6 +644,7 @@ QUERIES = {
     "parts_revenue": q_parts_revenue,
     "semi_join_orders": q_semi_join_orders,
     "routes": q_routes,
+    "price_series": q_price_series,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
@@ -595,6 +670,7 @@ ORACLES = {
     "parts_revenue": SQL_PARTS_REVENUE,
     "semi_join_orders": SQL_SEMI_JOIN_ORDERS,
     "routes": SQL_ROUTES,
+    "price_series": SQL_PRICE_SERIES,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
