@@ -1,0 +1,190 @@
+"""Incremental downstream aggregates — the aggregator-task analog.
+
+The reference chains per-interval tasks off the parser output
+(`/root/reference/aggregator/aggregator.go:69-84`):
+
+- **lp_history** (`aggregator/task.go:143-219`): per (pair, height) rows of
+  cumulative liquidity, each run seeded from the latest stored row per pair
+  and extended with only the NEW heights' transactions;
+- **pair_stats_recent** (`aggregator/task.go:308-394`): a sliding 48 h stats
+  window maintained incrementally — only transactions after the last
+  processed height are aggregated in, and rows older than the window start
+  are deleted in the same transaction.
+
+Spark shape (10^10 design point):
+
+- lp_history is an APPEND-ONLY epoch-committed table: each advance reads
+  the O(|keys|) latest-state rows, aggregates only the new batch (one
+  shuffle on the key), seeds the batch-local cumulative window with the
+  stored latest, and appends — cost is O(batch + keys), never a recompute
+  over history;
+- recent stats are kept as per-(key, hour-bucket) partial aggregates in a
+  keyed lake table: an advance merges bucket deltas (one bounded-size MERGE)
+  and retention-deletes expired buckets; the serving view sums ≤48 buckets
+  per key. Bucketing makes both the upsert and the expiry O(window), and
+  the whole advance is idempotent on the batch id (exactly-once commits).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cosmwasm_etl_spark.lakehouse import LakeTable
+from cosmwasm_etl_spark.operators.dedup_window import latest_wins_agg
+
+LP_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("liq0", T.DoubleType(), False),
+        T.StructField("liq1", T.DoubleType(), False),
+    ]
+)
+
+BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("bk", T.StringType(), False),  # "<key>|<bucket_start>"
+        T.StructField("key", T.StringType(), False),
+        T.StructField("bucket_ts", T.LongType(), False),  # epoch seconds
+        T.StructField("vol0", T.DoubleType(), False),
+        T.StructField("vol1", T.DoubleType(), False),
+        T.StructField("n_txs", T.LongType(), False),
+    ]
+)
+
+
+class IncrementalAggregates:
+    """lp_history + recent-window stats, advanced once per upstream commit.
+
+    ``txs`` batches carry (key string, height long, ts long-epoch-seconds,
+    v0 double, v1 double) — the ParsedTxWithPrice analog.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        window_hours: int = 48,
+        bucket_seconds: int = 3600,
+        num_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.work_dir = os.path.abspath(work_dir)
+        self.window_sec = window_hours * 3600
+        self.bucket_sec = bucket_seconds
+        lp_path = os.path.join(self.work_dir, "lp_history")
+        rc_path = os.path.join(self.work_dir, "recent_buckets")
+        if LakeTable(spark, lp_path).log.exists():
+            self.lp = LakeTable.load(spark, lp_path)
+        else:
+            self.lp = LakeTable.create(
+                spark, lp_path, LP_SCHEMA, key_col="key", ts_col="height",
+                num_buckets=num_buckets,
+            )
+        if LakeTable(spark, rc_path).log.exists():
+            self.recent = LakeTable.load(spark, rc_path)
+        else:
+            self.recent = LakeTable.create(
+                spark, rc_path, BUCKET_SCHEMA, key_col="bk", ts_col="bucket_ts",
+                num_buckets=num_buckets,
+            )
+
+    # ------------------------------------------------------------ lp history
+
+    def advance_lp_history(self, txs: DataFrame, batch_id: int) -> dict:
+        """Append per-(key, height) cumulative liquidity rows for the batch.
+
+        Exactly the reference's generateHistory recurrence
+        (`task.go:143-219`): one output row per (key, height) present in the
+        batch, cumulative from the latest stored liquidity per key.
+        Idempotent on ``batch_id`` (epoch-checked append)."""
+        if batch_id in self.lp.committed_epochs():
+            return {"batch_id": batch_id, "skipped": True}
+        latest = latest_wins_agg(self.lp.read(), key="key", order_cols=["height"]).select(
+            F.col("key"), F.col("liq0").alias("seed0"), F.col("liq1").alias("seed1")
+        )
+        per_h = txs.groupBy("key", "height").agg(
+            F.sum("v0").alias("d0"), F.sum("v1").alias("d1")
+        )
+        w = Window.partitionBy("key").orderBy("height").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = (
+            per_h.join(latest, "key", "left")
+            .select(
+                "key",
+                "height",
+                (F.coalesce(F.col("seed0"), F.lit(0.0)) + F.sum("d0").over(w)).alias("liq0"),
+                (F.coalesce(F.col("seed1"), F.lit(0.0)) + F.sum("d1").over(w)).alias("liq1"),
+            )
+        )
+        res = self.lp.append(out, epoch=batch_id)
+        return {"batch_id": batch_id, **res}
+
+    def lp_history(self) -> DataFrame:
+        return self.lp.read().select("key", "height", "liq0", "liq1")
+
+    # ------------------------------------------------------------ recent 48h
+
+    def advance_recent(self, txs: DataFrame, batch_id: int, now_ts: int) -> dict:
+        """Fold the batch into hour-bucket partials; expire old buckets.
+
+        The merge carries the batch id (skip-on-replay: a re-delivered batch
+        cannot double-add into a bucket); the expiry delete is idempotent by
+        predicate, mirroring the reference's upsert+delete single
+        transaction (`task.go:371-386`)."""
+        if batch_id in self.recent.committed_epochs():
+            return {"batch_id": batch_id, "skipped": True}
+        cutoff = int(now_ts) - self.window_sec
+        bucket = (F.col("ts") - F.pmod(F.col("ts"), F.lit(self.bucket_sec))).cast("long")
+        deltas = (
+            txs.filter(F.col("ts") >= F.lit(cutoff))
+            .withColumn("bucket_ts", bucket)
+            .groupBy("key", "bucket_ts")
+            .agg(
+                F.sum("v0").alias("dv0"),
+                F.sum("v1").alias("dv1"),
+                F.count("*").alias("dn"),
+            )
+            .withColumn("bk", F.concat_ws("|", "key", "bucket_ts"))
+        )
+        cur = self.recent.read().select(
+            "bk", F.col("vol0").alias("c0"), F.col("vol1").alias("c1"), F.col("n_txs").alias("cn")
+        )
+        merged = (
+            deltas.join(cur, "bk", "left")
+            .select(
+                "bk",
+                "key",
+                "bucket_ts",
+                (F.coalesce(F.col("c0"), F.lit(0.0)) + F.col("dv0")).alias("vol0"),
+                (F.coalesce(F.col("c1"), F.lit(0.0)) + F.col("dv1")).alias("vol1"),
+                (F.coalesce(F.col("cn"), F.lit(0)) + F.col("dn")).alias("n_txs"),
+            )
+        )
+        res = self.recent.merge_upserts(
+            merged, epoch=batch_id, op_col=None, order_cols=["bucket_ts", "n_txs"]
+        )
+        # expire at bucket-END granularity: a bucket straddling the cutoff
+        # still holds in-window txs (ingest filters by exact ts), so it is
+        # kept until its whole span has expired
+        self.recent.delete_where(f"bucket_ts + {self.bucket_sec} <= {cutoff}")
+        return {"batch_id": batch_id, **res}
+
+    def recent_stats(self, now_ts: int) -> DataFrame:
+        """Per-key stats over the live window (≤ window_hours of buckets)."""
+        cutoff = int(now_ts) - self.window_sec
+        return (
+            self.recent.read()
+            .filter(F.col("bucket_ts") + F.lit(self.bucket_sec) > F.lit(cutoff))
+            .groupBy("key")
+            .agg(
+                F.sum("vol0").alias("vol0"),
+                F.sum("vol1").alias("vol1"),
+                F.sum("n_txs").alias("n_txs"),
+            )
+        )

@@ -269,6 +269,81 @@ FROM g
 """
 
 
+def q_lp_history(spark, sf_dir):
+    """lp_history analog (`aggregator/task.go:143-219`): per (key, day) rows
+    of END-OF-DAY cumulative two-sided liquidity from the event stream.
+    Incremental per-commit maintenance of the same result is exercised in
+    tests/test_aggregates.py; this is the one-shot equivalent."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("day"),
+        )
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))).alias("d0"),
+            F.sum(F.when(F.col("event_type") == "click", F.col("value"))).alias("d1"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per.select(
+        "user_id",
+        "day",
+        F.round(F.sum(F.coalesce(F.col("d0"), F.lit(0.0))).over(w), 6).alias("liq0"),
+        F.round(F.sum(F.coalesce(F.col("d1"), F.lit(0.0))).over(w), 6).alias("liq1"),
+    )
+
+
+SQL_LP_HISTORY = """
+WITH per AS (
+  SELECT user_id, CAST(floor(epoch(ts)/86400) AS BIGINT) AS day,
+         sum(value) FILTER (WHERE event_type = 'purchase') AS d0,
+         sum(value) FILTER (WHERE event_type = 'click') AS d1
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2
+)
+SELECT user_id, day,
+       round(sum(coalesce(d0, 0)) OVER (PARTITION BY user_id ORDER BY day), 6) AS liq0,
+       round(sum(coalesce(d1, 0)) OVER (PARTITION BY user_id ORDER BY day), 6) AS liq1
+FROM per
+"""
+
+
+def q_recent_stats_48h(spark, sf_dir):
+    """pair_stats_recent analog (`aggregator/task.go:308-394`): per-key
+    volume/count stats over the trailing 48 h window ending at the stream's
+    max timestamp. The incremental bucket-merge + expiry maintenance is
+    exercised in tests/test_aggregates.py."""
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max(F.unix_timestamp("ts")).alias("mx"))
+    return (
+        ev.crossJoin(F.broadcast(mx))
+        .filter(F.unix_timestamp("ts") >= F.col("mx") - F.lit(48 * 3600))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), F.lit(0.0)), 6).alias("vol0"),
+            F.round(F.coalesce(F.sum(F.when(F.col("event_type") == "click", F.col("value"))), F.lit(0.0)), 6).alias("vol1"),
+            F.count("*").alias("n_txs"),
+        )
+    )
+
+
+SQL_RECENT_STATS_48H = """
+WITH mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS mx FROM events)
+SELECT user_id,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0.0), 6) AS vol0,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0.0), 6) AS vol1,
+       count(*) AS n_txs
+FROM events, mx
+WHERE CAST(floor(epoch(ts)) AS BIGINT) >= mx.mx - 48*3600
+GROUP BY 1
+"""
+
+
 # =====================================================================
 # TPC-H-shaped operators (J1/J2/J7, A2/A3/A8, P3-P6)
 # =====================================================================
@@ -640,6 +715,8 @@ QUERIES = {
     "dedup_anti_join": q_dedup_anti_join,
     "full_outer_validation": q_full_outer_validation,
     "net_position": q_net_position,
+    "lp_history": q_lp_history,
+    "recent_stats_48h": q_recent_stats_48h,
     "pricing_summary": q_pricing_summary,
     "parts_revenue": q_parts_revenue,
     "semi_join_orders": q_semi_join_orders,
@@ -666,6 +743,8 @@ ORACLES = {
     "dedup_anti_join": SQL_DEDUP_ANTI_JOIN,
     "full_outer_validation": SQL_FULL_OUTER_VALIDATION,
     "net_position": SQL_NET_POSITION,
+    "lp_history": SQL_LP_HISTORY,
+    "recent_stats_48h": SQL_RECENT_STATS_48H,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "parts_revenue": SQL_PARTS_REVENUE,
     "semi_join_orders": SQL_SEMI_JOIN_ORDERS,

@@ -1,0 +1,123 @@
+"""Incremental aggregator jobs: incremental result == full recompute, across
+restarts (aggregator analogs — `aggregator/task.go:143-219`, `:308-394`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cosmwasm_etl_spark.aggregates import IncrementalAggregates
+
+HOUR = 3600
+
+
+def _txs(spark, rows):
+    return spark.createDataFrame(
+        rows, "key string, height long, ts long, v0 double, v1 double"
+    )
+
+
+def _gen_rows(n=300, keys=5):
+    rows = []
+    for i in range(n):
+        k = f"p{i % keys}"
+        height = i // 10
+        ts = 1_700_000_000 + height * HOUR // 2
+        rows.append((k, height, ts, float((i * 7) % 13) + 0.5, float((i * 3) % 11) + 0.25))
+    return rows
+
+
+def test_lp_history_incremental_equals_full_recompute(spark, tmp_path):
+    rows = _gen_rows()
+    agg = IncrementalAggregates(spark, str(tmp_path / "agg"))
+    # three batches by height range
+    for b, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 40)]):
+        batch = _txs(spark, [r for r in rows if lo <= r[1] < hi])
+        agg.advance_lp_history(batch, batch_id=b)
+
+    got = {
+        (r.key, r.height): (round(r.liq0, 6), round(r.liq1, 6))
+        for r in agg.lp_history().collect()
+    }
+    # full recompute: per (key, height) sums, cumulative over heights
+    full = _txs(spark, rows).groupBy("key", "height").agg(
+        F.sum("v0").alias("d0"), F.sum("v1").alias("d1")
+    )
+    w = Window.partitionBy("key").orderBy("height").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r.key, r.height): (round(r.l0, 6), round(r.l1, 6))
+        for r in full.select(
+            "key", "height", F.sum("d0").over(w).alias("l0"), F.sum("d1").over(w).alias("l1")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_lp_history_replay_is_noop_and_restart_safe(spark, tmp_path):
+    rows = _gen_rows(100)
+    agg = IncrementalAggregates(spark, str(tmp_path / "agg"))
+    b0 = _txs(spark, [r for r in rows if r[1] < 5])
+    agg.advance_lp_history(b0, 0)
+    n1 = agg.lp_history().count()
+    # replayed batch: epoch-checked skip
+    res = agg.advance_lp_history(b0, 0)
+    assert res["skipped"] and agg.lp_history().count() == n1
+    # restart: a NEW IncrementalAggregates over the same dir continues
+    agg2 = IncrementalAggregates(spark, str(tmp_path / "agg"))
+    agg2.advance_lp_history(_txs(spark, [r for r in rows if r[1] >= 5]), 1)
+    assert agg2.lp_history().count() > n1
+    res2 = agg2.advance_lp_history(b0, 0)  # old batch replayed after restart
+    assert res2["skipped"]
+
+
+def test_recent_stats_incremental_equals_window_recompute(spark, tmp_path):
+    rows = _gen_rows(400, keys=4)
+    agg = IncrementalAggregates(spark, str(tmp_path / "agg"), window_hours=8)
+    max_ts = max(r[2] for r in rows)
+    # advance in 4 batches, each with "now" = its own max ts (sliding)
+    hs = sorted({r[1] for r in rows})
+    chunks = [hs[i::4] for i in range(4)]  # interleaved: late data lands too
+    chunks = [set(c) for c in chunks]
+    for b, hset in enumerate(chunks):
+        batch = [r for r in rows if r[1] in hset]
+        agg.advance_recent(_txs(spark, batch), b, now_ts=max_ts)
+
+    got = {
+        r.key: (round(r.vol0, 6), round(r.vol1, 6), r.n_txs)
+        for r in agg.recent_stats(now_ts=max_ts).collect()
+    }
+    cutoff = max_ts - 8 * HOUR
+    live = [r for r in rows if r[2] >= cutoff]
+    want = {}
+    for k, h, ts, v0, v1 in live:
+        c = want.setdefault(k, [0.0, 0.0, 0])
+        c[0] += v0
+        c[1] += v1
+        c[2] += 1
+    want = {k: (round(a, 6), round(b, 6), n) for k, (a, b, n) in want.items()}
+    assert got == want
+
+    # replayed batch cannot double-add
+    res = agg.advance_recent(_txs(spark, [r for r in rows if r[1] in chunks[0]]), 0, max_ts)
+    assert res["skipped"]
+    got2 = {
+        r.key: (round(r.vol0, 6), round(r.vol1, 6), r.n_txs)
+        for r in agg.recent_stats(now_ts=max_ts).collect()
+    }
+    assert got2 == want
+
+
+def test_recent_buckets_expire(spark, tmp_path):
+    agg = IncrementalAggregates(spark, str(tmp_path / "agg"), window_hours=2)
+    t0 = 1_700_000_000
+    agg.advance_recent(_txs(spark, [("k", 1, t0, 1.0, 1.0)]), 0, now_ts=t0)
+    agg.advance_recent(
+        _txs(spark, [("k", 2, t0 + 3 * HOUR, 2.0, 2.0)]), 1, now_ts=t0 + 3 * HOUR
+    )
+    # first bucket fell out of the 2h window: stored buckets pruned
+    buckets = agg.recent.read().select("bucket_ts").collect()
+    assert all(b.bucket_ts >= t0 + HOUR for b in buckets)
+    stats = agg.recent_stats(now_ts=t0 + 3 * HOUR).collect()
+    assert len(stats) == 1 and stats[0].vol0 == 2.0
