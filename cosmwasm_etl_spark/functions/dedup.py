@@ -144,37 +144,53 @@ def minhash_lsh_pairs(
     return verified
 
 
-@_functools.lru_cache(maxsize=1)
-def _simhash_udf():
-    @pandas_udf("long")
-    def _udf(texts: pd.Series) -> pd.Series:
-        import re as _re
+def simhash64(
+    df: DataFrame, text_col: str = "text", id_col: str = "id", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash per document — 100% JVM-side (no Python in the path).
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            toks = _re.findall(r"[a-z0-9']+", str(t).lower())
-            if not toks:
-                continue
-            acc = np.zeros(64, dtype=np.int64)
-            for tok in toks:
-                # deterministic 64-bit hash (FNV-1a, public domain algorithm)
-                h = np.uint64(14695981039346656037)
-                for ch in tok.encode("utf-8"):
-                    h = np.uint64((int(h) ^ ch) * 1099511628211 % (1 << 64))
-                bits = np.unpackbits(np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8))
-                acc += np.where(bits.astype(np.int64) == 1, 1, -1)
-            sign = np.packbits((acc > 0).astype(np.uint8))
-            out[i] = np.frombuffer(sign.tobytes(), dtype=np.int64)[0]
-        return pd.Series(out)
+    Shape: explode tokens (occurrence-weighted, the classic SimHash vote) →
+    ``xxhash64`` per token → 64 conditional-sum aggregates (one per bit,
+    ±1 votes) with map-side partial aggregation → sign bits reassembled into
+    one long. The previous implementation hashed byte-by-byte in Python
+    inside a pandas UDF — interpreter-bound regardless of Arrow batching;
+    this plan whole-stage-codegens end to end and combines map-side, so a
+    million-copy boilerplate doc costs one partial row per map task.
+    Returns one row per input row: (id_col, out_col); token-less or NULL
+    texts hash to 0."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9']+"),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("tok"),
+    ).withColumn("th", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("tok").isNull(), F.lit(0)  # explode_outer keeps empty docs
+            ).otherwise(
+                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
+            )
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        for b in range(64)
+    ]
+    out = agg.select("id", _sum_cols(bits).alias(out_col))
+    return out.withColumnRenamed("id", id_col)
 
-    return _udf
 
-
-def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
-    """64-bit SimHash per document (Arrow-vectorized)."""
-    return df.withColumn(out_col, _simhash_udf()(F.col(text_col)))
+def _sum_cols(cols):
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = acc + c
+    return acc
 
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:

@@ -92,6 +92,7 @@ class CdcPipeline:
         compact_every: int = 8,
         extract_versions: list[tuple[int, int]] | None = None,
         quarantine_mode: str = "batch",
+        extractor: str = "arrow",
     ):
         """``sink_mode``:
 
@@ -129,6 +130,16 @@ class CdcPipeline:
         # (`parser/dex/dex.go:93-100`), so capture lag is semantically safe:
         # raw events remain in the immutable log either way.
         self.quarantine_mode = quarantine_mode
+        # "arrow" (default): the byte-identical pandas-UDF extraction — the
+        # CORRECTNESS path. "jvm": a cost-representative pure-JVM extraction
+        # (regexp_replace chain) used ONLY as the scaling CONTROL in
+        # bench.py — same scans/shuffles/writes with zero Python, so the
+        # measured efficiency delta isolates the Python/Arrow layer's
+        # scaling contribution. Never use "jvm" for real ingestion: its
+        # output is not byte-identical to the reference.
+        if extractor not in ("arrow", "jvm"):
+            raise ValueError(f"unknown extractor: {extractor}")
+        self.extractor = extractor
 
     # ------------------------------------------------------------ single batch
 
@@ -190,7 +201,13 @@ class CdcPipeline:
         masked = F.when(~is_ok_fast, F.col("html"))  # NULL for fast rows
 
         obs = Observation(f"cdc-batch-{batch_id}")
-        ev = events.withColumn("__q_err", check_quarantine_udf()(masked)).observe(
+        if self.extractor == "jvm":
+            # control path: JVM-only validity (is_valid_utf8 — a strict
+            # superset of the python ratio rule on the fixtures)
+            q_err = F.when(~is_ok_fast, F.lit("invalid_encoding"))
+        else:
+            q_err = check_quarantine_udf()(masked)
+        ev = events.withColumn("__q_err", q_err).observe(
             obs,
             F.count(F.lit(1)).alias("n"),
             F.max("seq").alias("max_seq"),
@@ -213,6 +230,22 @@ class CdcPipeline:
             extracted = with_extracted_text_versioned(
                 placed, self.extract_versions, epoch_col="epoch", html_col="html", out_text="text"
             )
+        elif self.extractor == "jvm":
+            # scaling-control path: cost-representative, JVM-only
+            extracted = placed.withColumn(
+                "text",
+                F.trim(
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.decode(F.col("html"), "UTF-8"),
+                            r"(?s)<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->|<[^>]*>",
+                            " ",
+                        ),
+                        r"\s+",
+                        " ",
+                    )
+                ),
+            ).withColumn("__extract_err", F.lit(None).cast("string"))
         else:
             extracted = with_extracted_text(placed, html_col="html", out_text="text")
         # the cheap pre-check and the full extraction share one validity

@@ -379,6 +379,44 @@ FROM lineitem GROUP BY 1, 2
 """
 
 
+def q_decimal_turnover(spark, sf_dir):
+    """Exact-decimal money math (SURVEY §1.2): the reference stores all
+    amounts as fixed-point numeric and sums them exactly
+    (`db/migrations/parser/20220711191007_create_tables.up.sql:37-42`,
+    LegacyDec in `pkg/util`). This query runs the aggregation entirely in
+    DecimalType(38,18) — no float in the plan — and emits canonical decimal
+    strings. Documented gap: the reference's column type is numeric(40);
+    Spark DecimalType caps at precision 38, so amounts beyond 10^20 base
+    units (never reached by the reference's fixtures) would need a
+    two-column hi/lo representation."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,18)"
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast(dec).alias("__sq"),
+            F.sum((F.col("l_quantity") * F.col("l_linenumber")).cast(dec)).cast(dec).alias("__swq"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("__sq").cast("string").alias("sum_qty_exact"),
+            F.col("__swq").cast("string").alias("sum_weighted_exact"),
+            "n_rows",
+        )
+    )
+
+
+SQL_DECIMAL_TURNOVER = """
+SELECT l_returnflag, l_linestatus,
+       CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS VARCHAR) AS sum_qty_exact,
+       CAST(CAST(sum(CAST(l_quantity * l_linenumber AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS VARCHAR) AS sum_weighted_exact,
+       count(*) AS n_rows
+FROM lineitem GROUP BY 1, 2
+"""
+
+
 def q_parts_revenue(spark, sf_dir):
     """J1/J2 double broadcast dim join + computed projection
     (`pkg/db/parser/repository.go:183-186`, `:303-306`)."""
@@ -718,6 +756,7 @@ QUERIES = {
     "lp_history": q_lp_history,
     "recent_stats_48h": q_recent_stats_48h,
     "pricing_summary": q_pricing_summary,
+    "decimal_turnover": q_decimal_turnover,
     "parts_revenue": q_parts_revenue,
     "semi_join_orders": q_semi_join_orders,
     "routes": q_routes,
@@ -746,6 +785,7 @@ ORACLES = {
     "lp_history": SQL_LP_HISTORY,
     "recent_stats_48h": SQL_RECENT_STATS_48H,
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "decimal_turnover": SQL_DECIMAL_TURNOVER,
     "parts_revenue": SQL_PARTS_REVENUE,
     "semi_join_orders": SQL_SEMI_JOIN_ORDERS,
     "routes": SQL_ROUTES,

@@ -98,3 +98,43 @@ def routes_df(spark, edges: Iterable[tuple[str, str]], max_hops: int = MAX_ROUTE
         for src, dst, route, hops in enumerate_routes(edges, max_hops)
     ]
     return spark.createDataFrame(rows, "src string, dst string, route string, hops int")
+
+
+class RouteCache:
+    """G2 route-cache invalidation — the analog of the reference's router
+    refresh (`/root/reference/pkg/dex/router/router.go:106-143`): routes are
+    recomputed only when the PAIR SET changes (the reference compares the
+    pair count against the cached one); an unchanged edge set returns the
+    cached enumeration with zero recomputation.
+
+    The edge set is dimension data, so the fingerprint is an order-
+    insensitive hash of the normalized edges — cheap enough to evaluate per
+    refresh call, and stricter than the reference's count-only check (an
+    add+remove that keeps the count now still invalidates)."""
+
+    def __init__(self, max_hops: int = MAX_ROUTE_HOP_COUNT):
+        self.max_hops = max_hops
+        self._fingerprint: int | None = None
+        self._routes: list[tuple[str, str, list[str], int]] = []
+        self.recompute_count = 0
+
+    @staticmethod
+    def _fp(edges: Iterable[tuple[str, str]]) -> int:
+        norm = frozenset((a, b) if a <= b else (b, a) for a, b in edges if a != b)
+        return hash(norm)
+
+    def routes(self, edges: Iterable[tuple[str, str]]):
+        edges = list(edges)
+        fp = self._fp(edges)
+        if fp != self._fingerprint:
+            self._routes = enumerate_routes(edges, self.max_hops)
+            self._fingerprint = fp
+            self.recompute_count += 1
+        return self._routes
+
+    def routes_df(self, spark, edges: Iterable[tuple[str, str]]):
+        rows = [
+            (src, dst, "->".join(route), hops)
+            for src, dst, route, hops in self.routes(edges)
+        ]
+        return spark.createDataFrame(rows, "src string, dst string, route string, hops int")

@@ -54,3 +54,73 @@ def run_stream_available_now(
     )
     q.awaitTermination(timeout_sec)
     return stats
+
+
+class StallError(RuntimeError):
+    """No-new-data stall (T7): the analog of the reference's ErrNoNewHeight
+    (`parser/dex/dex.go:367-377`) — raised when ``stall_after`` consecutive
+    triggers deliver zero events, so an operator/alert layer can distinguish
+    'source is idle or broken' from 'pipeline is slow'."""
+
+
+def run_stream_processing_time(
+    spark: SparkSession,
+    pipeline: CdcPipeline,
+    events_path: str,
+    checkpoint_dir: str,
+    trigger_seconds: float = 5.0,
+    max_files_per_trigger: int | None = None,
+    stall_after: int = 3,
+    stop_after_batches: int | None = None,
+    timeout_sec: int = 600,
+) -> list[dict]:
+    """Steady-state tailing (T7): processing-time trigger — the reference's
+    5 s poll loop (`cmd/parser/dex/main.go:54`) — with no-new-data stall
+    detection. Each non-empty micro-batch goes through the full exactly-once
+    apply; ``stall_after`` consecutive empty triggers raise :class:`StallError`
+    after stopping the query (the reference returns ErrNoNewHeight and lets
+    the runner decide). ``stop_after_batches`` bounds the run for tests."""
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    stats: list[dict] = []
+
+    def handle(batch_df, batch_id: int) -> None:
+        stats.append(pipeline.apply_batch(batch_df, int(batch_id)))
+
+    stream = read_event_log_stream(spark, events_path, max_files_per_trigger)
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+    import time
+
+    # Stall detection watches StreamingQueryProgress, NOT foreachBatch:
+    # an idle file source emits progress events with numInputRows == 0 but
+    # never invokes foreachBatch, so batch-side counting cannot see a stall.
+    deadline = time.time() + timeout_sec
+    empty_streak = 0
+    seen_ts: set[str] = set()
+    try:
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp and lp.get("timestamp") not in seen_ts:
+                seen_ts.add(lp["timestamp"])
+                if int(lp.get("numInputRows", 0) or 0) == 0:
+                    empty_streak += 1
+                else:
+                    empty_streak = 0
+            if empty_streak >= stall_after:
+                raise StallError(
+                    f"no new events for {stall_after} consecutive triggers "
+                    f"({stall_after * trigger_seconds:.0f}s)"
+                )
+            if stop_after_batches is not None and len(stats) >= stop_after_batches:
+                break
+            if not q.isActive:
+                break
+            time.sleep(min(trigger_seconds / 4, 1.0))
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return stats

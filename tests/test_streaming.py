@@ -34,3 +34,53 @@ def test_stream_available_now_matches_oracle(spark, tmp_path):
     stats3 = run_stream_available_now(spark, pipe, log_dir, str(tmp_path / "ckpt"))
     assert [s for s in stats3 if not s.get("skipped")]
     assert pipe.audit(spark.read.parquet(log_dir)).count() == 0
+
+
+def test_processing_time_trigger_and_stall_detection(spark, tmp_path):
+    """T7: steady-state tailing applies live batches; a drained source trips
+    the no-new-data stall detector (ErrNoNewHeight analog,
+    `parser/dex/dex.go:367-377`)."""
+    import threading
+    import time
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cosmwasm_etl_spark.streaming.runner import (
+        StallError,
+        run_stream_processing_time,
+    )
+
+    all_events = synthetic_events(spark, 4_000, n_urls=400, events_per_epoch=1_000)
+    log_dir = str(tmp_path / "events")
+    write_event_log(all_events.filter(F.col("seq") < 2_000), log_dir, range_partitions=2)
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"))
+
+    # feed the tail of the log concurrently: the poll loop must pick it up
+    def _feed():
+        time.sleep(3)
+        all_events.filter(F.col("seq") >= 2_000).repartition(2).write.mode(
+            "append"
+        ).parquet(log_dir)
+
+    feeder = threading.Thread(target=_feed)
+    feeder.start()
+    try:
+        with pytest.raises(StallError):
+            # short trigger: consumes both slices, then the drained source
+            # trips the stall detector
+            run_stream_processing_time(
+                spark,
+                pipe,
+                log_dir,
+                str(tmp_path / "ckpt"),
+                trigger_seconds=1.0,
+                stall_after=3,
+                timeout_sec=120,
+            )
+    finally:
+        feeder.join()
+    # everything delivered before the stall was applied exactly once
+    assert pipe.audit(spark.read.parquet(log_dir)).count() == 0
