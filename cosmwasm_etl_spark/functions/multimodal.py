@@ -1,18 +1,30 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + typed
 metadata, processed via ``mapInPandas`` (Arrow-batched).
 
-The decode step is STUBBED (no image/audio libraries in this container):
-``decode_image_stub`` produces a deterministic fake "decoded" feature so the
-Spark-side plumbing — schema, batch shape, partitioning — is real and tested;
-swap the stub for a PIL/ffmpeg call in production. Anything that can't run
-here raises ``NotImplementedError`` explicitly.
+Decode is REAL for self-describing uncompressed formats that need no
+external codec — binary PPM (P6) images, WAV/PCM-16 audio, and a raw
+frame-concatenated video container — implemented with numpy only:
+
+- :func:`decode_ppm` → HxWx3 uint8 array;
+- :func:`resize_image` → deterministic nearest-neighbor resize (re-encoded
+  PPM bytes);
+- :func:`decode_wav_pcm16` → mono-mixed float32 samples;
+- :func:`sample_video_frames` → every-k-th frame of a ``RAWV`` container.
+
+Compressed codecs (JPEG/PNG/H.264/MP3) require libraries absent from this
+container; those paths raise ``NotImplementedError`` EXPLICITLY (never a
+silent fake) — swap in PIL/ffmpeg in production. The Spark-side shape —
+schema, Arrow batch streaming, no introduced shuffle — is identical either
+way and is what the tests pin down.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -32,70 +44,262 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 FEATURE_SCHEMA = (
-    "media_id long, kind string, n_bytes long, sha256 string, feature array<float>"
+    "media_id long, kind string, n_bytes long, sha256 string, "
+    "width int, height int, n_samples long, n_frames int, feature array<float>"
 )
 
+# ------------------------------------------------------------------ codecs
 
-def decode_image_stub(payload: bytes) -> list[float]:
-    """Deterministic fake decode: 8 floats derived from the payload digest.
-    REPLACE with a real decoder (PIL/torchvision) in production."""
-    if payload is None:
-        return []
-    d = hashlib.sha256(payload).digest()
-    return [b / 255.0 for b in d[:8]]
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> HxWx3 uint8. Pure numpy/stdlib; raises ValueError
+    on malformed input (the caller quarantines, never crashes the task)."""
+    if not payload or not bytes(payload[:2]) == b"P6":
+        raise ValueError("not a P6 ppm payload")
+    # header = magic + 3 ints, each followed by whitespace; the raster
+    # starts after EXACTLY ONE whitespace byte past maxval (raster bytes
+    # may themselves be whitespace-valued, so a global split would eat them)
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated ppm header")
+        vals.append(int(payload[start:pos]))
+    pos += 1  # the single separator byte before the raster
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only 8-bit ppm supported")
+    raster = payload[pos : pos + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("truncated ppm raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
 def resize_image(payload: bytes, w: int, h: int) -> bytes:
-    raise NotImplementedError("image resize requires PIL/opencv; not in this container")
+    """Deterministic nearest-neighbor resize of a PPM payload (returns PPM).
+
+    Compressed formats need a codec library: raises NotImplementedError for
+    anything that is not P6."""
+    if payload is None or not payload.startswith(b"P6"):
+        raise NotImplementedError(
+            "resize implemented for binary PPM only; JPEG/PNG need PIL/opencv"
+        )
+    img = decode_ppm(payload)
+    src_h, src_w, _ = img.shape
+    rows = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    cols = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return encode_ppm(img[rows][:, cols])
 
 
-def sample_video_frames(payload: bytes, every_ms: int) -> list[bytes]:
-    raise NotImplementedError("video frame sampling requires ffmpeg; not in this container")
+def decode_wav_pcm16(payload: bytes) -> np.ndarray:
+    """Minimal RIFF/WAVE PCM-16 reader -> float32 mono samples in [-1, 1)."""
+    if not payload or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, n_channels, data = 12, 1, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, n_channels = struct.unpack("<HH", body[:4])
+            if fmt_tag != 1:
+                raise ValueError("only PCM wav supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("wav has no data chunk")
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float32) / 32768.0
+    if n_channels > 1:
+        samples = samples[: len(samples) // n_channels * n_channels]
+        samples = samples.reshape(-1, n_channels).mean(axis=1)
+    return samples
+
+
+_RAWV_MAGIC = b"RAWV"
+
+
+def encode_rawv(frames: list[np.ndarray]) -> bytes:
+    """Raw video container: RAWV | n_frames | w | h | frames(h*w*3 u8 each)."""
+    h, w, _ = frames[0].shape
+    head = _RAWV_MAGIC + struct.pack("<III", len(frames), w, h)
+    return head + b"".join(f.astype(np.uint8).tobytes() for f in frames)
+
+
+def sample_video_frames(payload: bytes, every_k: int = 2) -> list[bytes]:
+    """Every k-th frame of a RAWV container, as PPM bytes. Codec-backed
+    containers (mp4 etc.) need ffmpeg: explicit NotImplementedError."""
+    if payload is None or payload[:4] != _RAWV_MAGIC:
+        raise NotImplementedError(
+            "frame sampling implemented for the RAWV raw container only; "
+            "mp4/webm need ffmpeg"
+        )
+    n, w, h = struct.unpack("<III", payload[4:16])
+    fsz = w * h * 3
+    out = []
+    for i in range(0, n, max(every_k, 1)):
+        off = 16 + i * fsz
+        frame = np.frombuffer(payload[off : off + fsz], dtype=np.uint8).reshape(h, w, 3)
+        out.append(encode_ppm(frame))
+    return out
+
+
+# ------------------------------------------------------------------ features
+
+
+def _feature_of(kind: str, payload: bytes) -> tuple[int | None, int | None, int | None, int | None, list[float]]:
+    """(width, height, n_samples, n_frames, feature[8]) for one payload.
+
+    Decodable payloads get REAL content features (channel means / RMS /
+    frame deltas); undecodable ones fall back to a digest fingerprint —
+    deterministic either way."""
+    if payload is None:
+        return None, None, None, None, []
+    try:
+        if kind == "image" and payload.startswith(b"P6"):
+            img = decode_ppm(payload)
+            h, w, _ = img.shape
+            means = img.reshape(-1, 3).mean(axis=0) / 255.0
+            stds = img.reshape(-1, 3).std(axis=0) / 255.0
+            f = [float(x) for x in (*means, *stds, w / 4096.0, h / 4096.0)]
+            return w, h, None, None, f
+        if kind == "audio" and payload[:4] == b"RIFF":
+            s = decode_wav_pcm16(payload)
+            if len(s) == 0:
+                return None, None, 0, None, [0.0] * 8
+            seg = np.array_split(s, 7)
+            f = [float(np.sqrt(np.mean(x * x))) if len(x) else 0.0 for x in seg]
+            f.append(float(np.abs(s).max()))
+            return None, None, int(len(s)), None, f
+        if kind == "video" and payload[:4] == _RAWV_MAGIC:
+            frames = [decode_ppm(p) for p in sample_video_frames(payload, every_k=1)]
+            n = len(frames)
+            h, w, _ = frames[0].shape
+            mean0 = frames[0].mean() / 255.0
+            meanN = frames[-1].mean() / 255.0
+            deltas = [
+                float(np.abs(frames[i + 1].astype(np.int16) - frames[i]).mean() / 255.0)
+                for i in range(min(n - 1, 5))
+            ]
+            f = ([mean0, meanN] + deltas + [0.0] * 6)[:8]
+            return w, h, None, n, [float(x) for x in f]
+    except ValueError:
+        pass  # malformed payload -> fingerprint fallback below
+    d = hashlib.sha256(payload).digest()
+    return None, None, None, None, [b / 255.0 for b in d[:8]]
 
 
 def extract_media_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 
     Arrow batches stream through Python once; output is a narrow feature
-    table (media_id, kind, n_bytes, sha256, feature). Partitioning is
-    preserved — no shuffle is introduced by this op.
-    """
+    table. Partitioning is preserved — no shuffle is introduced by this op,
+    and the wide binary column never returns to the JVM."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            rows = [
+                _feature_of(k, p) for k, p in zip(pdf["kind"], pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda b: 0 if b is None else len(b)),
-                    "sha256": payloads.map(
-                        lambda b: hashlib.sha256(b or b"").hexdigest()
-                    ),
-                    "feature": payloads.map(decode_image_stub),
+                    "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                    "sha256": [
+                        hashlib.sha256(p or b"").hexdigest() for p in pdf["payload"]
+                    ],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "n_samples": [r[2] for r in rows],
+                    "n_frames": [r[3] for r in rows],
+                    "feature": [r[4] for r in rows],
                 }
             )
 
     return df.mapInPandas(fn, FEATURE_SCHEMA)
 
 
+# ------------------------------------------------------------------ fixtures
+
+
+def _synth_payload(media_id: int, kind: str) -> bytes:
+    """Deterministic REAL payloads: 16x12 PPM gradients, 400-sample PCM-16
+    WAV sine-ish waves, 4-frame 8x6 RAWV clips."""
+    rng = (media_id * 2654435761) & 0xFFFFFFFF
+    if kind == "image":
+        y, x = np.mgrid[0:12, 0:16]
+        img = np.stack(
+            [(x * 16 + rng) % 256, (y * 21 + rng // 3) % 256, (x * y + rng // 7) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        return encode_ppm(img)
+    if kind == "audio":
+        t = np.arange(400, dtype=np.float32)
+        wave = (np.sin(t * (0.02 + (rng % 13) / 100.0)) * 12000).astype("<i2")
+        data = wave.tobytes()
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+            + b"data" + struct.pack("<I", len(data))
+        )
+        return hdr + data
+    frames = []
+    for i in range(4):
+        y, x = np.mgrid[0:6, 0:8]
+        frames.append(((x * 7 + y * 5 + i * 11 + rng) % 256).astype(np.uint8)[..., None].repeat(3, -1))
+    return encode_rawv(frames)
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic binary fixtures (JVM-side generation)."""
+    """Deterministic binary media fixtures with REAL decodable payloads
+    (PPM / WAV / RAWV), generated via a seeded Arrow UDF (payload bytes are
+    a pure function of media_id; ``seed`` keeps the kind assignment stable)."""
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.pmod(F.xxhash64(F.lit(seed), F.col("id")), F.lit(3)) + 1).cast("int"),
     )
-    payload = F.encode(
-        F.concat(F.lit("payload-"), F.col("id").cast("string"), F.lit("-"),
-                 F.sha2(F.concat(F.lit(seed), F.col("id")), 256)),
-        "UTF-8",
-    )
-    return spark.range(n).select(
-        F.col("id").alias("media_id"),
-        kinds.alias("kind"),
-        payload.alias("payload"),
-        F.lit("application/octet-stream").alias("mime"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("long").alias("duration_ms"),
-    )
+    base = spark.range(n).select(F.col("id").alias("media_id"), kinds.alias("kind"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                _synth_payload(int(m), k) for m, k in zip(pdf["media_id"], pdf["kind"])
+            ]
+            mimes = {
+                "image": "image/x-portable-pixmap",
+                "audio": "audio/wav",
+                "video": "video/x-rawv",
+            }
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads,
+                    "mime": [mimes[k] for k in pdf["kind"]],
+                    "width": [16 if k == "image" else (8 if k == "video" else None) for k in pdf["kind"]],
+                    "height": [12 if k == "image" else (6 if k == "video" else None) for k in pdf["kind"]],
+                    "duration_ms": [50 if k == "audio" else (None if k == "image" else 4 * 40) for k in pdf["kind"]],
+                }
+            )
+
+    return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_image_stub(payload: bytes) -> list[float]:
+    """Back-compat digest fingerprint (kept for tests comparing the
+    fallback path)."""
+    if payload is None:
+        return []
+    d = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in d[:8]]
