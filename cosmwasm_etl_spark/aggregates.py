@@ -175,6 +175,17 @@ class IncrementalAggregates:
         self.recent.delete_where(f"bucket_ts + {self.bucket_sec} <= {cutoff}")
         return {"batch_id": batch_id, **res}
 
+    def advance_all(self, txs: DataFrame, batch_id: int, now_ts: int) -> dict:
+        """The scheduler-DAG analog (`aggregator/aggregator.go:69-84`): the
+        reference chains router → lp_history → price → recent/pair/account
+        stats, each task gated on its parents having reached the height.
+        Here the barrier is structural: tasks run sequentially per upstream
+        commit, each epoch-idempotent on the same ``batch_id`` — a crash
+        between tasks is healed by re-advancing (completed tasks skip)."""
+        r1 = self.advance_lp_history(txs, batch_id)
+        r2 = self.advance_recent(txs, batch_id, now_ts)
+        return {"batch_id": batch_id, "lp_history": r1, "recent": r2}
+
     def recent_stats(self, now_ts: int) -> DataFrame:
         """Per-key stats over the live window (≤ window_hours of buckets)."""
         cutoff = int(now_ts) - self.window_sec

@@ -93,6 +93,7 @@ class CdcPipeline:
         extract_versions: list[tuple[int, int]] | None = None,
         quarantine_mode: str = "batch",
         extractor: str = "arrow",
+        post_commit=None,
     ):
         """``sink_mode``:
 
@@ -140,6 +141,15 @@ class CdcPipeline:
         if extractor not in ("arrow", "jvm"):
             raise ValueError(f"unknown extractor: {extractor}")
         self.extractor = extractor
+        # T6 downstream-task barrier (the aggregator scheduler-DAG analog,
+        # `aggregator/aggregator.go:69-84`): called AFTER each batch's
+        # atomic commit as post_commit(events_df, batch_id, stats). The
+        # callee owns its own epoch idempotency (IncrementalAggregates
+        # keys every advance on the same batch_id), so a crash between the
+        # upstream commit and downstream tasks is healed on replay: the
+        # upstream skip still invokes post_commit, the downstream skips
+        # what it already applied.
+        self.post_commit = post_commit
 
     # ------------------------------------------------------------ single batch
 
@@ -184,7 +194,13 @@ class CdcPipeline:
         the observed quarantine count is non-zero.
         """
         if batch_id in self.table.committed_epochs():
-            return {"batch_id": batch_id, "skipped": True}
+            stats = {"batch_id": batch_id, "skipped": True}
+            if self.post_commit is not None:
+                # replay healing: downstream tasks may have crashed after
+                # this batch's upstream commit — give them their (idempotent)
+                # chance again
+                self.post_commit(events, batch_id, stats)
+            return stats
         t0 = time.time()
         from pyspark.sql import Observation
 
@@ -325,6 +341,8 @@ class CdcPipeline:
             "duration_ms": int((time.time() - t0) * 1000),
         }
         self._write_lineage(stats)
+        if self.post_commit is not None:
+            self.post_commit(events, batch_id, stats)
         return stats
 
     def _capture_quarantine(self, events: DataFrame, batch_id: int) -> int:

@@ -121,3 +121,67 @@ def test_recent_buckets_expire(spark, tmp_path):
     assert all(b.bucket_ts >= t0 + HOUR for b in buckets)
     stats = agg.recent_stats(now_ts=t0 + 3 * HOUR).collect()
     assert len(stats) == 1 and stats[0].vol0 == 2.0
+
+
+def test_dag_chained_off_pipeline_commits(spark, tmp_path):
+    """The aggregator scheduler-DAG analog: downstream incremental tasks
+    chained off each CDC commit via post_commit, crash-healed on replay
+    (`aggregator/aggregator.go:69-84`)."""
+    from pyspark.sql import functions as F
+
+    from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
+    from cosmwasm_etl_spark.sources.eventlog import synthetic_events
+
+    ev = synthetic_events(spark, 4_000, n_urls=400, events_per_epoch=1_000)
+    now_ts = 1_800_000_000
+    agg = IncrementalAggregates(spark, str(tmp_path / "agg"), window_hours=9999)
+
+    def to_txs(events_df):
+        # ParsedTxWithPrice analog from the raw event slice: key = host,
+        # height = epoch, two-sided "volumes" from payload sizes
+        return events_df.select(
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("key"),
+            F.col("epoch").alias("height"),
+            F.unix_timestamp("warc_ts").alias("ts"),
+            F.length(F.coalesce(F.col("html"), F.lit(b""))).cast("double").alias("v0"),
+            F.lit(1.0).alias("v1"),
+        )
+
+    def downstream(events_df, batch_id, stats):
+        agg.advance_all(to_txs(events_df), batch_id, now_ts=now_ts)
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"), post_commit=downstream)
+    pipe.run_replay(ev, epochs_per_batch=1)
+
+    # downstream state == one-shot recompute over the whole log
+    got = {
+        (r.key, r.height): (round(r.liq0, 6), round(r.liq1, 6))
+        for r in agg.lp_history().collect()
+    }
+    from pyspark.sql import Window
+
+    full = to_txs(ev).groupBy("key", "height").agg(
+        F.sum("v0").alias("d0"), F.sum("v1").alias("d1")
+    )
+    w = Window.partitionBy("key").orderBy("height").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r.key, r.height): (round(r.l0, 6), round(r.l1, 6))
+        for r in full.select(
+            "key", "height", F.sum("d0").over(w).alias("l0"), F.sum("d1").over(w).alias("l1")
+        ).collect()
+    }
+    assert got == want
+
+    # full replay over the same log: upstream batches skip AND downstream
+    # re-advances are no-ops — state unchanged (crash-healing path)
+    pipe2 = CdcPipeline(spark, table, str(tmp_path / "work"), post_commit=downstream)
+    stats = pipe2.run_replay(ev, epochs_per_batch=1)
+    assert all(s.get("skipped") for s in stats)
+    got2 = {
+        (r.key, r.height): (round(r.liq0, 6), round(r.liq1, 6))
+        for r in agg.lp_history().collect()
+    }
+    assert got2 == want
