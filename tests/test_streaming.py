@@ -84,3 +84,51 @@ def test_processing_time_trigger_and_stall_detection(spark, tmp_path):
         feeder.join()
     # everything delivered before the stall was applied exactly once
     assert pipe.audit(spark.read.parquet(log_dir)).count() == 0
+
+
+def test_stateful_latest_wins_change_feed(spark, tmp_path):
+    """applyInPandasWithState: per-url winner state across micro-batches —
+    a url re-emits only when a batch advances its (warc_ts, seq)."""
+    from pyspark.sql import functions as F
+
+    from cosmwasm_etl_spark.streaming.stateful import latest_wins_change_feed
+
+    all_events = synthetic_events(spark, 6_000, n_urls=500, events_per_epoch=1_000)
+    log_dir = str(tmp_path / "events")
+    write_event_log(all_events, log_dir, range_partitions=6)
+
+    stream = spark.readStream.schema(all_events.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(log_dir)
+    feed = latest_wins_change_feed(stream)
+
+    out: dict[str, tuple] = {}
+    batches = []
+
+    def sink(df, bid):
+        rows = df.collect()
+        batches.append(len(rows))
+        for r in rows:
+            out[r.url] = (r.warc_ts, r.seq)
+
+    q = (
+        feed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    assert len(batches) >= 2  # several micro-batches flowed through state
+    # final state per url == batch latest-wins over the whole log
+    from cosmwasm_etl_spark.operators.dedup_window import latest_wins_agg
+
+    expect = {
+        r.url: (r.warc_ts, r.seq)
+        for r in latest_wins_agg(
+            all_events.select("url", "warc_ts", "seq"),
+            key="url", order_cols=["warc_ts", "seq"],
+        ).collect()
+    }
+    assert out == expect
