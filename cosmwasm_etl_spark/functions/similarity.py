@@ -80,6 +80,81 @@ def cosine_topk(
     return _topk_per_query(scored, k)
 
 
+def cosine_near_dups(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold). All-pairs via broadcast self-join — the exactness/oracle
+    baseline for bounded corpora; use :func:`cosine_near_dups_lsh` at scale."""
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(_dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb"))), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def cosine_near_dups_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucketed (the 100 TB path).
+
+    Candidates = pairs sharing a random-hyperplane bucket (plus, with
+    ``multiprobe``, buckets at Hamming distance 1 — one side only, so a
+    pair is probed, never double-bucketed N²-style); exact cosine verify on
+    candidates only. High-cosine pairs collide with probability
+    (1 - θ/π)^n_planes, so recall at threshold≥0.9 stays high while the
+    candidate set shrinks ~2^n_planes-fold. Recall vs the exact baseline is
+    pinned in tests/test_training_ops.py."""
+    keyed = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+        lsh_bucket_key(F.col(vec_col), dim, n_planes, seed).alias("bucket0"),
+    )
+    left = keyed.select("id", "__v", F.col("bucket0").alias("bucket"))
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
+        )
+        right = keyed.select("id", "__v", F.explode(probes).alias("bucket"))
+    else:
+        right = left
+    cand = (
+        left.alias("a")
+        .join(right.alias("b"), ["bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("a.__v").alias("__va"),
+            F.col("b.id").alias("id_b"), F.col("b.__v").alias("__vb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(_dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb"))), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-ish hyperplanes (splitmix-style LCG,
     no numpy state): plane[p][d] in [-1, 1)."""

@@ -725,6 +725,31 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact baseline; the
+    LSH-bucketed scale path is cosine_near_dups_lsh, recall-tested in
+    pytest)."""
+    from cosmwasm_etl_spark.functions.similarity import cosine_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    out = cosine_near_dups(corpus, threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(round(list_dot_product(a.e, b.e) /
+             (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6), 4) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) /
+      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.4
+"""
+
+
 def q_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate NN (scale path; recall tested in pytest).
     Hash-bucket-dependent — rows-only driver check."""
@@ -768,6 +793,7 @@ QUERIES = {
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_dups": q_simhash_dups,
     "cosine_topk": q_cosine_topk,
+    "embedding_near_dups": q_embedding_near_dups,
     "lsh_ann": q_lsh_ann,
     "multimodal_features": q_multimodal_features,
 }
@@ -795,6 +821,7 @@ ORACLES = {
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "cosine_topk": SQL_COSINE_TOPK,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     # minhash_lsh_dups / simhash_dups / lsh_ann / multimodal_features:
     # hash-seed-dependent or non-tabular inputs — rows-only driver check;
     # their correctness oracles live in tests/ (recall vs exact methods).

@@ -205,3 +205,37 @@ def test_multimodal_real_codecs(spark):
         resize_image(b"\x89PNG....", 2, 2)
     with pytest.raises(NotImplementedError):
         sample_video_frames(b"\x00\x00\x00 ftypmp42", 2)
+
+
+def test_embedding_near_dup_lsh_recall(spark, sf_dir):
+    """LSH-bucketed cosine near-dup recall ≥ 0.9 vs the exact baseline at a
+    high threshold (where hyperplane collision probability is high)."""
+    from pyspark.sql import functions as F
+
+    from cosmwasm_etl_spark.functions.similarity import (
+        cosine_near_dups,
+        cosine_near_dups_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    # plant 10 strong near-dups (tiny deterministic perturbation of dim 0)
+    planted = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x * 1.01).otherwise(x)
+        ).alias("embedding"),
+    )
+    both = corpus.unionByName(planted)
+    thr = 0.9
+    exact = {(r.id_a, r.id_b) for r in cosine_near_dups(both, thr).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in cosine_near_dups_lsh(both, thr, dim=64, n_planes=6).collect()
+    }
+    assert approx <= exact  # verify step keeps only true pairs
+    assert len(exact) >= 10  # planted pairs are present
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, f"lsh recall {recall:.3f}"
