@@ -254,10 +254,10 @@ def _run_scaling(small_cores: int, large_cores: int, n_events: int) -> dict:
         line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
         return json.loads(line)
 
-    def level_eps(extractor: str) -> tuple[dict[int, float], list[dict]]:
+    def level_eps(extractor: str, n_repeats: int) -> tuple[dict[int, float], list[dict]]:
         eps: dict[int, float] = {}
         runs: list[dict] = []
-        for _ in range(repeats):
+        for _ in range(n_repeats):
             for cores in (small_cores, large_cores):
                 r = one(cores, extractor)
                 val = (
@@ -269,7 +269,7 @@ def _run_scaling(small_cores: int, large_cores: int, n_events: int) -> dict:
                 eps[cores] = max(eps.get(cores, 0.0), val)
         return eps, runs
 
-    eps, runs = level_eps("arrow")
+    eps, runs = level_eps("arrow", repeats)
     eff = (eps[large_cores] / eps[small_cores]) / (large_cores / small_cores)
     out = {
         "cores_small": small_cores,
@@ -281,8 +281,10 @@ def _run_scaling(small_cores: int, large_cores: int, n_events: int) -> dict:
         "body_words": SCALING_BODY_WORDS,
         "runs": runs,
     }
-    # pure-JVM control: same pipeline, extractor="jvm" (zero Python)
-    ctl_eps, ctl_runs = level_eps("jvm")
+    # pure-JVM control: same pipeline, extractor="jvm" (zero Python);
+    # one pass per level — the control bounds a RATIO, best-of-N matters
+    # less than for the headline measurement
+    ctl_eps, ctl_runs = level_eps("jvm", max(repeats // 2, 1))
     ctl_eff = (ctl_eps[large_cores] / ctl_eps[small_cores]) / (large_cores / small_cores)
     out["jvm_control"] = {
         "eps_small": ctl_eps[small_cores],
