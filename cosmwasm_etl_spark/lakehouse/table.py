@@ -146,6 +146,13 @@ class LakeTable:
         t = cls(spark, path)
         if not t.log.exists():
             raise FileNotFoundError(f"no lakehouse table at {path}")
+        # restart hygiene: stage/ holds per-merge scratch that is deleted
+        # after each commit; anything still present belongs to a merge that
+        # crashed mid-flight (its commit never landed, so the data is
+        # garbage by definition — single-writer design, SURVEY §7.4)
+        import shutil as _sh
+
+        _sh.rmtree(os.path.join(t.path, "stage"), ignore_errors=True)
         return t
 
     def evolve_schema(self, change: str, spec: dict) -> int:
