@@ -157,15 +157,17 @@ def simhash64(
     this plan whole-stage-codegens end to end and combines map-side, so a
     million-copy boilerplate doc costs one partial row per map task.
     Returns one row per input row: (id_col, out_col); token-less or NULL
-    texts hash to 0."""
+    texts hash to NULL (callers must exclude them from band-joining —
+    otherwise every empty doc would collide with every other one).
+
+    Tokenization is the Unicode split shared with :func:`text.tokens`
+    (``[^\\p{L}\\p{N}']+``) — an ASCII-only split would drop ALL tokens of
+    CJK/Cyrillic/Greek documents, hash every non-Latin doc identically, and
+    degrade the band join to all-pairs on that bucket (regression-tested
+    with a CJK corpus in tests/test_training_ops.py)."""
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode_outer(
-            F.filter(
-                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z0-9']+"),
-                lambda t: F.length(t) > 0,
-            )
-        ).alias("tok"),
+        F.explode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
     ).withColumn("th", F.xxhash64("tok"))
     votes = [
         F.sum(
@@ -177,12 +179,14 @@ def simhash64(
         ).alias(f"v{b}")
         for b in range(64)
     ]
-    agg = toks.groupBy("id").agg(*votes)
+    agg = toks.groupBy("id").agg(F.count("tok").alias("__ntok"), *votes)
     bits = [
         F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         for b in range(64)
     ]
-    out = agg.select("id", _sum_cols(bits).alias(out_col))
+    out = agg.select(
+        "id", F.when(F.col("__ntok") > 0, _sum_cols(bits)).alias(out_col)
+    )
     return out.withColumnRenamed("id", id_col)
 
 
@@ -196,8 +200,14 @@ def _sum_cols(cols):
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
     (pigeonhole: hamming ≤3 ⇒ at least one identical band), bucket-join,
-    verify hamming distance with bit_count."""
-    h = simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col).select("id", "simhash")
+    verify hamming distance with bit_count. Token-less docs (simhash NULL)
+    are excluded from banding — they carry no content signal and would
+    otherwise form one quadratic all-pairs bucket."""
+    h = (
+        simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col)
+        .select("id", "simhash")
+        .filter(F.col("simhash").isNotNull())
+    )
     bands = h.select(
         "id",
         "simhash",

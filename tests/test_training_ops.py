@@ -67,6 +67,41 @@ def test_simhash_finds_planted_near_dups(spark, docs):
     assert len(planted_found) >= 12  # ≥80% of 15 planted
 
 
+def test_simhash_handles_non_latin_text(spark):
+    """Regression (round-2 verdict): an ASCII-only tokenizer hashed every
+    CJK/Cyrillic doc to 0, reporting ALL non-Latin pairs as duplicates and
+    degenerating the band join to all-pairs. The Unicode tokenizer must (a)
+    find a planted CJK near-dup and (b) NOT pair unrelated non-Latin docs."""
+    rows = [
+        # 0/1: planted near-dup pair — token-identical CJK content, differing
+        # only in punctuation/separators (the crawl-dedup case; hamming 0)
+        (0, "天氣 很好 今天 我們 去 公園 散步 然後 吃 晚飯 再 回家 休息 睡覺 明天 繼續 工作 學習 進步 加油"),
+        (1, "天氣、很好。今天、我們、去、公園、散步！然後、吃、晚飯、再、回家、休息、睡覺。明天、繼續、工作、學習、進步、加油。"),
+        # 2-5: unrelated docs in CJK / Cyrillic / Greek / mixed
+        (2, "機器 學習 模型 訓練 需要 大量 數據 以及 算力 支援 框架 優化 部署 推理 服務 監控 迭代 評估 調參 上線"),
+        (3, "сегодня хорошая погода мы идем гулять в парк потом ужинаем дома и отдыхаем перед новой рабочей неделей"),
+        (4, "η γλώσσα είναι το εργαλείο της σκέψης και της επικοινωνίας μεταξύ των ανθρώπων σε κάθε εποχή και τόπο"),
+        (5, "数据 管道 去重 相似 检索 质量 评分 语言 识别 分词 指纹 嵌入 向量 索引 召回 精度 吞吐 扩展 分区 容错"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from cosmwasm_etl_spark.functions.dedup import simhash64
+
+    hashes = {r.doc_id: r.simhash for r in simhash64(docs, id_col="doc_id").collect()}
+    assert all(h is not None for h in hashes.values()), "CJK docs must tokenize"
+    assert len(set(hashes.values())) >= 5, "distinct non-Latin docs must not collide"
+
+    found = {(r.id_a, r.id_b) for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    assert (0, 1) in found, "planted CJK near-dup must be detected"
+    assert all(p == (0, 1) for p in found), f"unrelated non-Latin docs paired: {found}"
+
+    # token-less docs (whitespace/punctuation only) must be excluded from
+    # banding entirely, not bucketed together as hash-0 dups
+    empties = spark.createDataFrame(
+        [(10, "   "), (11, "!!! ???"), (12, "---")], "doc_id long, text string"
+    )
+    assert simhash_near_dups(empties, max_hamming=3).count() == 0
+
+
 def test_ann_finds_planted_near_neighbors(spark, sf_dir):
     """The scale-relevant recall case: near-identical vectors (near-dups)
     must land in a probed bucket. Random-noise neighbors (cosine≈0) are NOT
