@@ -392,7 +392,11 @@ class LakeTable:
 
             _sh.rmtree(stage_abs, ignore_errors=True)
             v = st.version + 1
-            summary = {"epoch": epoch, "watermark": watermark, "rows_after": 0, "ts": time.time()}
+            # an empty micro-batch leaves every prior row in place: report the
+            # PRIOR table row count, not 0 — metrics/audits reading the commit
+            # summary must never see the table as emptied by a no-op marker
+            prior_rows = sum(e["rows"] for e in st.files.values())
+            summary = {"epoch": epoch, "watermark": watermark, "rows_after": prior_rows, "ts": time.time()}
             if summary_fn is not None:
                 summary.update(summary_fn() or {})
             summary.update(extra_summary or {})
@@ -401,7 +405,7 @@ class LakeTable:
                 {"operation": "merge", "summary": summary, "schema": None, "add": [], "remove": []},
             )
             self._maybe_checkpoint(v)
-            return {"skipped": False, "version": v, "rows_after": 0}
+            return {"skipped": False, "version": v, "rows_after": prior_rows}
         b = self.spark.read.option("basePath", stage_abs).parquet(stage_abs)
         old_entries = [e for e in st.files.values() if e["bucket"] in set(affected)]
         untouched_note = len(st.files) - len(old_entries)

@@ -171,15 +171,25 @@ class CdcPipeline:
         keys = valid.select("url", "warc_ts", "seq")
         return self._dedup(keys).select("seq")
 
-    def _fetch_winners(self, events: DataFrame, winner_seqs: DataFrame) -> DataFrame:
+    def _fetch_winners(
+        self, events: DataFrame, winner_seqs: DataFrame, bounded: bool = True
+    ) -> DataFrame:
         """Join the full-width events back to the winner seq set.
 
-        The seq set is one long column bounded by the micro-batch's distinct
-        key count (itself bounded by backpressure/epochs_per_batch), so the
-        broadcast is safe by construction; the events side is NEVER shuffled
-        — its 8 KB payloads stay in their scan partitions until the single
-        bucket repartition before the sink write."""
-        return events.join(F.broadcast(winner_seqs), "seq")
+        ``bounded=True`` (the per-micro-batch apply path): the seq set is one
+        long column bounded by the micro-batch's distinct key count (itself
+        bounded by backpressure/epochs_per_batch), so a forced broadcast is
+        safe by construction; the events side is NEVER shuffled — its 8 KB
+        payloads stay in their scan partitions until the single bucket
+        repartition before the sink write.
+
+        ``bounded=False`` (the full-log audit path): the winner set is one
+        row per distinct url in the CORPUS — far beyond broadcast size at the
+        design scale — so no hint is forced and AQE picks the join strategy
+        (it will still broadcast at test scale)."""
+        if bounded:
+            winner_seqs = F.broadcast(winner_seqs)
+        return events.join(winner_seqs, "seq")
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
         """Apply one micro-batch of change events. Idempotent on batch_id.
@@ -441,10 +451,17 @@ class CdcPipeline:
             lo, hi = b * epochs_per_batch, (b + 1) * epochs_per_batch
             if schema_evolutions:
                 self._ensure_evolutions(lo, schema_evolutions)
-            if b in done:
-                all_stats.append({"batch_id": b, "skipped": True})
-                continue
             chunk = events.filter((F.col("epoch") >= lo) & (F.col("epoch") < hi))
+            if b in done:
+                # already committed upstream — but a crash may have hit
+                # BETWEEN that commit and the downstream post_commit tasks,
+                # so the healing chance must fire here too (the downstream
+                # advances are idempotent on the batch id and skip cheaply)
+                stats = {"batch_id": b, "skipped": True}
+                if self.post_commit is not None:
+                    self.post_commit(chunk, b, stats)
+                all_stats.append(stats)
+                continue
             all_stats.append(self.apply_batch(chunk, b))
         if self.quarantine_mode == "deferred":
             # single amortized dead-letter pass over the WHOLE log, written
@@ -491,16 +508,18 @@ class CdcPipeline:
         """The replay oracle: latest non-deleted version per url, extracted.
         (A6/T9 analog — `parser/dex/repo/repository.go:136-168`.)
 
-        Same physical shape as apply: masked single-scan validity check
+        Same logical shape as apply: masked single-scan validity check
         (valid-utf8 rows never cross the Arrow channel), key-only winner
-        selection, broadcast seq-join payload fetch — the audit is the thing
-        run at scale over the FULL log, so it must not shuffle html either."""
+        selection, seq-join payload fetch. Unlike the per-batch apply path,
+        the winner set here is one row per distinct url in the CORPUS —
+        unbounded — so the fetch join is NOT broadcast-forced; AQE picks the
+        strategy (broadcast at test scale, shuffle join beyond threshold)."""
         is_ok_fast = (F.length("html") == F.lit(0)) | F.is_valid_utf8(F.col("html"))
         masked = F.when(~is_ok_fast, F.col("html"))
         valid = events.withColumn("__q_err", check_quarantine_udf()(masked)).filter(
             F.col("__q_err").isNull()
         ).drop("__q_err")
-        winners = self._fetch_winners(events, self._winner_seqs(valid))
+        winners = self._fetch_winners(events, self._winner_seqs(valid), bounded=False)
         alive = winners.filter(F.col("op") != "delete")
         return with_extracted_text(alive).filter(F.col("__extract_err").isNull()).select(
             "url", "warc_ts", "html", "text", "lang"
@@ -536,8 +555,18 @@ class CdcPipeline:
         q = self.read_quarantine()
         if q.isEmpty():
             return {"retried": 0, "resolved": 0}
+        from pyspark.sql import Observation
+
         extractor = extractor or (lambda df: with_extracted_text(df))
-        ex = extractor(q)
+        # retried/resolved counts ride the merge's own staging job as
+        # Observation metrics — extraction executes exactly ONCE (re-counting
+        # afterwards would re-run the extractor over the quarantine slice)
+        obs = Observation(f"retry-{batch_id}")
+        ex = extractor(q).observe(
+            obs,
+            F.count(F.lit(1)).alias("retried"),
+            F.count(F.when(F.col("__extract_err").isNull(), 1)).alias("resolved"),
+        )
         ok = ex.filter(F.col("__extract_err").isNull())
         winners = latest_wins_agg(ok, key="url", order_cols=["warc_ts", "seq"])
         batch = winners.select(
@@ -554,4 +583,5 @@ class CdcPipeline:
         )
         if res.get("skipped"):
             return {"retried": 0, "resolved": 0, "skipped": True, "merge": res}
-        return {"retried": int(q.count()), "resolved": int(ok.count()), "merge": res}
+        got = obs.get
+        return {"retried": int(got["retried"] or 0), "resolved": int(got["resolved"] or 0), "merge": res}

@@ -185,3 +185,75 @@ def test_dag_chained_off_pipeline_commits(spark, tmp_path):
         for r in agg.lp_history().collect()
     }
     assert got2 == want
+
+
+def test_replay_restart_heals_downstream_crash_after_upstream_commit(spark, tmp_path):
+    """A crash BETWEEN an upstream batch commit and its downstream advance
+    must be healed when the replay restarts: run_replay's skip branch for
+    already-committed batches still fires post_commit (regression for the
+    round-2 advice finding — the skip shortcut used to bypass healing)."""
+    from pyspark.sql import functions as F
+
+    from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
+    from cosmwasm_etl_spark.sources.eventlog import synthetic_events
+
+    ev = synthetic_events(spark, 3_000, n_urls=300, events_per_epoch=1_000)
+    now_ts = 1_800_000_000
+    agg = IncrementalAggregates(spark, str(tmp_path / "agg"), window_hours=9999)
+
+    def to_txs(events_df):
+        return events_df.select(
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("key"),
+            F.col("epoch").alias("height"),
+            F.unix_timestamp("warc_ts").alias("ts"),
+            F.length(F.coalesce(F.col("html"), F.lit(b""))).cast("double").alias("v0"),
+            F.lit(1.0).alias("v1"),
+        )
+
+    class DownstreamCrash(RuntimeError):
+        pass
+
+    crash_on = {1}
+
+    def downstream(events_df, batch_id, stats):
+        if batch_id in crash_on:
+            crash_on.discard(batch_id)  # crash exactly once
+            raise DownstreamCrash(f"simulated crash after commit of batch {batch_id}")
+        agg.advance_all(to_txs(events_df), batch_id, now_ts=now_ts)
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"), post_commit=downstream)
+    import pytest
+
+    with pytest.raises(DownstreamCrash):
+        pipe.run_replay(ev, epochs_per_batch=1)
+    # batch 1's UPSTREAM commit landed before the downstream crash...
+    assert 1 in table.committed_epochs()
+    # ...but its downstream advance did not
+    assert 1 not in agg.lp.committed_epochs()
+
+    # restart: batches 0 and 1 skip upstream, yet post_commit must still
+    # fire so the downstream catches up; batch 2 applies normally
+    pipe2 = CdcPipeline(spark, table, str(tmp_path / "work"), post_commit=downstream)
+    pipe2.run_replay(ev, epochs_per_batch=1)
+    assert 1 in agg.lp.committed_epochs()
+
+    got = {
+        (r.key, r.height): (round(r.liq0, 6), round(r.liq1, 6))
+        for r in agg.lp_history().collect()
+    }
+    from pyspark.sql import Window
+
+    full = to_txs(ev).groupBy("key", "height").agg(
+        F.sum("v0").alias("d0"), F.sum("v1").alias("d1")
+    )
+    w = Window.partitionBy("key").orderBy("height").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r.key, r.height): (round(r.l0, 6), round(r.l1, 6))
+        for r in full.select(
+            "key", "height", F.sum("d0").over(w).alias("l0"), F.sum("d1").over(w).alias("l1")
+        ).collect()
+    }
+    assert got == want
