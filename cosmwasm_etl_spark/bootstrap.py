@@ -75,10 +75,27 @@ def classify_snapshot_diff(snapshot: DataFrame, current: DataFrame) -> DataFrame
     )
 
 
-def bootstrap_from_snapshot(pipe, snapshot: DataFrame, bootstrap_id: int = 0) -> dict:
+def bootstrap_from_snapshot(
+    pipe, snapshot: DataFrame, bootstrap_id: int = 0, mode: str = "merge"
+) -> dict:
     """Apply the classified snapshot diff to the pipeline's table in one
     epoch-tagged MERGE (idempotent on ``bootstrap_id``). After this, tailing
-    the live event log reconverges with a from-scratch full replay."""
+    the live event log reconverges with a from-scratch full replay.
+
+    ``mode``:
+
+    - ``"merge"`` (default) — latest-wins merge: a stored row whose
+      (warc_ts, seq) order tuple is AHEAD of the snapshot's keeps winning.
+      Safe to run concurrently with live tailing, but cannot repair a row
+      carrying a corrupt/future timestamp.
+    - ``"repair"`` — force-apply: snapshot rows unconditionally replace
+      stored rows for every url the diff touches (the reference checkpoint
+      builder's unconditional reconcile, `builder.go:123-190`). Use from a
+      quiesced state: a tail event already delivered but ahead of the
+      snapshot would be rolled back (and re-applied when its log range is
+      replayed)."""
+    if mode not in ("merge", "repair"):
+        raise ValueError(f"unknown bootstrap mode: {mode}")
     events = classify_snapshot_diff(snapshot, pipe.pages())
     seq = max(pipe.table.watermark(), 0)
     extracted = with_extracted_text(events, html_col="html", out_text="text")
@@ -101,5 +118,6 @@ def bootstrap_from_snapshot(pipe, snapshot: DataFrame, bootstrap_id: int = 0) ->
         epoch=_BOOTSTRAP_EPOCH_BASE - int(bootstrap_id),
         op_col=None,
         order_cols=["warc_ts", "seq"],
+        force=(mode == "repair"),
     )
-    return {"bootstrap_id": bootstrap_id, **res}
+    return {"bootstrap_id": bootstrap_id, "mode": mode, **res}

@@ -330,6 +330,7 @@ class LakeTable:
         order_cols: list[str] | None = None,
         extra_summary: dict | None = None,
         summary_fn=None,
+        force: bool = False,
     ) -> dict:
         """Copy-on-write MERGE — the engine's core upsert (S8/S9/W5 analog).
 
@@ -356,6 +357,13 @@ class LakeTable:
         any order converges to the same state. ``op_col=None`` disables the
         delete branch (pure upserts — the tombstone pattern, where deletes
         are rows with a ``deleted`` flag).
+
+        ``force=True`` skips the latest-wins order comparison: a batch row
+        unconditionally replaces the stored row for its key. This is the
+        snapshot-REPAIR semantic (the reference checkpoint builder
+        unconditionally reconciles DB state to the snapshot) — it can roll a
+        stored row's order tuple BACKWARDS, so reserve it for trusted
+        source-of-truth batches, never live CDC traffic.
         """
         st = self.state()
         if epoch is not None and epoch in st.epochs:
@@ -432,7 +440,7 @@ class LakeTable:
         o_present = F.col(f"o.{key}").isNotNull()
         b_ord = F.struct(*[F.col(f"b.{c}") for c in order_cols])
         o_ord = F.struct(*[F.col(f"o.{c}") for c in order_cols])
-        take_batch = b_present & (~o_present | (b_ord >= o_ord))
+        take_batch = b_present if force else b_present & (~o_present | (b_ord >= o_ord))
         if op_col:
             is_delete = F.col(f"b.{op_col}") == F.lit("delete")
             keep = ~(take_batch & is_delete) & (o_present | (b_present & ~is_delete))

@@ -75,3 +75,58 @@ def test_bootstrap_classifies_deletes(spark, tmp_path):
     assert left.isdisjoint(victims)
     # unchanged urls were untouched (no spurious update events)
     assert len(left) == pages.count() - len(victims)
+
+
+def test_bootstrap_repair_overrides_future_timestamp(spark, tmp_path):
+    """A stored row whose warc_ts is AHEAD of the snapshot's (corrupt/future
+    timestamp) wins every latest-wins merge and cannot be fixed by
+    mode='merge'; mode='repair' force-applies the snapshot (the reference
+    checkpoint builder's unconditional reconcile), and later tail events
+    still win over the repaired row."""
+    ev = synthetic_events(spark, 2_000, n_urls=300, events_per_epoch=500)
+    table = create_pages_table(spark, str(tmp_path / "t"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "w"))
+    pipe.run_replay(ev, epochs_per_batch=2)
+
+    snapshot = pipe.pages().select("url", "warc_ts", "html", "lang")
+
+    # corrupt one row: push its warc_ts 10 years into the future via a
+    # regular CDC event (seq beyond the current watermark)
+    victim = pipe.pages().select("url").orderBy("url").limit(1).collect()[0].url
+    wm = table.watermark()
+    corrupt = ev.filter(F.col("url") == victim).limit(1).select(
+        (F.lit(wm) + 1).alias("seq"),
+        F.lit(9_999).alias("epoch"),
+        F.lit("update").alias("op"),
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 3650 DAYS")).alias("warc_ts"),
+        "html",
+        "lang",
+    )
+    pipe.apply_batch(corrupt, batch_id=9_999)
+    future_ts = pipe.pages().filter(F.col("url") == victim).collect()[0].warc_ts
+    snap_ts = snapshot.filter(F.col("url") == victim).collect()[0].warc_ts
+    assert future_ts > snap_ts
+
+    # merge mode cannot repair — the corrupt row's order tuple is ahead
+    bootstrap_from_snapshot(pipe, snapshot, bootstrap_id=1, mode="merge")
+    assert pipe.pages().filter(F.col("url") == victim).collect()[0].warc_ts == future_ts
+
+    # repair mode reconciles unconditionally
+    bootstrap_from_snapshot(pipe, snapshot, bootstrap_id=2, mode="repair")
+    assert pipe.pages().filter(F.col("url") == victim).collect()[0].warc_ts == snap_ts
+
+    # tail traffic after the repair still wins (repair seq = watermark;
+    # tail seqs are beyond it)
+    tail_ts = snap_ts.replace(year=snap_ts.year + 1)
+    tail = ev.filter(F.col("url") == victim).limit(1).select(
+        (F.lit(table.watermark()) + 10).alias("seq"),
+        F.lit(10_000).alias("epoch"),
+        F.lit("update").alias("op"),
+        "url",
+        F.lit(tail_ts).alias("warc_ts"),
+        "html",
+        "lang",
+    )
+    pipe.apply_batch(tail, batch_id=10_000)
+    assert pipe.pages().filter(F.col("url") == victim).collect()[0].warc_ts == tail_ts
