@@ -21,6 +21,7 @@ way and is what the tests pin down.
 from __future__ import annotations
 
 import hashlib
+import os
 import struct
 from collections.abc import Iterator
 
@@ -294,6 +295,58 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             )
 
     return base.mapInPandas(gen, MEDIA_SCHEMA)
+
+
+MEDIA_FIXTURE_PATH = "/tmp/spark_graft_fixtures/media_256_v1.parquet"
+
+
+def ensure_media_fixture(path: str | None = None, n: int = 256) -> str:
+    """Write the deterministic media fixture as ONE parquet file readable by
+    both Spark and DuckDB (pure pyarrow — no Spark session needed, so the
+    SQL oracle can materialize it too). Payload bytes are a pure function of
+    media_id (:func:`_synth_payload`); kind cycles image/audio/video by id.
+    Idempotent: an existing file is reused (the path carries a content
+    version — bump it when the generator changes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = path or MEDIA_FIXTURE_PATH
+    if os.path.exists(path):
+        return path
+    kinds_l = ["image", "audio", "video"]
+    mimes = {
+        "image": "image/x-portable-pixmap",
+        "audio": "audio/wav",
+        "video": "video/x-rawv",
+    }
+    ids = list(range(n))
+    kinds = [kinds_l[i % 3] for i in ids]
+    payloads = [_synth_payload(i, k) for i, k in zip(ids, kinds)]
+    tbl = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array([mimes[k] for k in kinds], pa.string()),
+            "width": pa.array(
+                [16 if k == "image" else (8 if k == "video" else None) for k in kinds],
+                pa.int32(),
+            ),
+            "height": pa.array(
+                [12 if k == "image" else (6 if k == "video" else None) for k in kinds],
+                pa.int32(),
+            ),
+            "duration_ms": pa.array(
+                [50 if k == "audio" else (160 if k == "video" else None) for k in kinds],
+                pa.int64(),
+            ),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)  # atomic: concurrent creators converge
+    return path
 
 
 def decode_image_stub(payload: bytes) -> list[float]:

@@ -760,12 +760,50 @@ def q_lsh_ann(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Binary media payload plumbing via mapInPandas (decode stubbed) —
-    rows-only driver check (synthetic media table)."""
-    media = synthetic_media(spark, n=256)
-    return extract_media_features(media).drop("feature").withColumn(
-        "n_feature", F.lit(8)
+    """Real multimodal decode (PPM/WAV/RAWV, numpy-only) over a
+    deterministic parquet media fixture shared with the DuckDB oracle.
+
+    The oracle reads the SAME parquet file and checks Spark's DECODED values
+    against independent ground truth: payload byte length (octet_length),
+    image/video dimensions (the generator's metadata columns, which the
+    decode must reproduce from raw bytes), and the generator-spec sample/
+    frame counts. The feature vector itself is pinned by the codec
+    round-trip pytests (sha256 can't be compared — DuckDB hashes VARCHAR
+    only)."""
+    from cosmwasm_etl_spark.functions.multimodal import ensure_media_fixture
+
+    media = spark.read.parquet(ensure_media_fixture())
+    return extract_media_features(media).select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "width",
+        "height",
+        "n_samples",
+        "n_frames",
+        F.size("feature").alias("n_feature"),
     )
+
+
+# import-time fixture creation: the driver may run the SQL oracle before (or
+# without) the Spark query — both sides must find the file
+try:
+    from cosmwasm_etl_spark.functions.multimodal import ensure_media_fixture as _emf
+
+    _MEDIA_FIXTURE = _emf()
+except Exception:  # unwritable /tmp — query still builds it lazily
+    from cosmwasm_etl_spark.functions.multimodal import MEDIA_FIXTURE_PATH as _MEDIA_FIXTURE
+
+SQL_MULTIMODAL_FEATURES = f"""
+SELECT media_id, kind,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       CASE WHEN kind IN ('image', 'video') THEN width END AS width,
+       CASE WHEN kind IN ('image', 'video') THEN height END AS height,
+       CASE WHEN kind = 'audio' THEN CAST(400 AS BIGINT) END AS n_samples,
+       CASE WHEN kind = 'video' THEN CAST(4 AS INT) END AS n_frames,
+       CAST(8 AS INT) AS n_feature
+FROM read_parquet('{_MEDIA_FIXTURE}')
+"""
 
 
 QUERIES = {
@@ -822,7 +860,8 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    # minhash_lsh_dups / simhash_dups / lsh_ann / multimodal_features:
-    # hash-seed-dependent or non-tabular inputs — rows-only driver check;
-    # their correctness oracles live in tests/ (recall vs exact methods).
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    # minhash_lsh_dups / simhash_dups / lsh_ann: hash-seed-dependent —
+    # rows-only driver check; their correctness oracles live in tests/
+    # (recall vs the exact methods).
 }
