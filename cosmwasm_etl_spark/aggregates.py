@@ -171,8 +171,12 @@ class IncrementalAggregates:
         )
         # expire at bucket-END granularity: a bucket straddling the cutoff
         # still holds in-window txs (ingest filters by exact ts), so it is
-        # kept until its whole span has expired
-        self.recent.delete_where(f"bucket_ts + {self.bucket_sec} <= {cutoff}")
+        # kept until its whole span has expired; ts_upper prunes files whose
+        # bucket_ts stats lie wholly at/after the expiry bound from metadata
+        self.recent.delete_where(
+            f"bucket_ts + {self.bucket_sec} <= {cutoff}",
+            ts_upper=cutoff - self.bucket_sec + 1,
+        )
         return {"batch_id": batch_id, **res}
 
     def advance_all(self, txs: DataFrame, batch_id: int, now_ts: int) -> dict:

@@ -78,31 +78,63 @@ class TableState:
         return st
 
 
-def _file_stats(abs_path: str, key_col: str) -> tuple[int, int, str | None, str | None]:
-    """(rows, bytes, min_key, max_key) from the parquet footer — no data read."""
+def _ts_cmp(v):
+    """Normalize a ts-domain value to a comparable int (epoch micros for
+    datetimes — naive treated as UTC; raw int for integer ts columns).
+    Returns None for un-normalizable values (disables pruning for them)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, float):
+        return int(v)
+    if isinstance(v, str):
+        try:
+            v = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return None
+
+
+def _file_stats(
+    abs_path: str, key_col: str, ts_col: str | None = None
+) -> tuple[int, int, str | None, str | None, int | None, int | None]:
+    """(rows, bytes, min_key, max_key, min_ts, max_ts) from the parquet
+    footer — no data read. Key stats are kept as strings (point/range key
+    skipping); ts stats are normalized ints (retention-window pruning)."""
     md = _pq.ParquetFile(abs_path).metadata
     rows = md.num_rows
     size = os.path.getsize(abs_path)
-    key_idx = None
-    for i in range(md.num_columns):
-        if md.row_group(0).column(i).path_in_schema == key_col if md.num_row_groups else False:
-            key_idx = i
-            break
-    mn = mx = None
-    if key_idx is not None:
+    idx: dict[str, int] = {}
+    if md.num_row_groups:
+        for i in range(md.num_columns):
+            idx[md.row_group(0).column(i).path_in_schema] = i
+
+    def _col_minmax(col: str | None):
+        if col is None or col not in idx:
+            return None, None
+        mn = mx = None
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(key_idx).statistics
+            st = md.row_group(rg).column(idx[col]).statistics
             if st is None or not st.has_min_max:
-                mn = mx = None
-                break
-            lo = st.min if isinstance(st.min, str) else None
-            hi = st.max if isinstance(st.max, str) else None
-            if lo is None or hi is None:
-                mn = mx = None
-                break
-            mn = lo if mn is None else min(mn, lo)
-            mx = hi if mx is None else max(mx, hi)
-    return rows, size, mn, mx
+                return None, None
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        return mn, mx
+
+    k_mn, k_mx = _col_minmax(key_col)
+    if not (isinstance(k_mn, str) and isinstance(k_mx, str)):
+        k_mn = k_mx = None
+    t_mn, t_mx = _col_minmax(ts_col)
+    return rows, size, k_mn, k_mx, _ts_cmp(t_mn), _ts_cmp(t_mx)
 
 
 class LakeTable:
@@ -233,8 +265,14 @@ class LakeTable:
         st = self.state(version)
         if not st.files:
             return self.spark.createDataFrame([], st.schema.to_spark())
+        return self._read_entries(list(st.files.values()), st)
+
+    def _read_entries(self, entries: list[dict], st: TableState) -> DataFrame:
+        """Scan a file-entry subset, grouped by schema version (one parquet
+        scan per group — predicate pushdown + column pruning intact), each
+        aligned to the current schema by field id, then unioned."""
         by_sv: dict[int, list[str]] = {}
-        for e in st.files.values():
+        for e in entries:
             by_sv.setdefault(e["schema_version"], []).append(os.path.join(self.path, e["path"]))
         parts = []
         for sv, paths in sorted(by_sv.items()):
@@ -274,10 +312,10 @@ class LakeTable:
             for n in names:
                 if n.endswith(".parquet"):
                     todo.append((os.path.join(dirpath, n), bucket))
-        key_col = st.key_col
+        key_col, ts_col = st.key_col, st.ts_col
         with _fut.ThreadPoolExecutor(max_workers=16) as ex:
-            stats = list(ex.map(lambda t: _file_stats(t[0], key_col), todo))
-        for (abs_p, bucket), (rows, size, mn, mx) in zip(todo, stats):
+            stats = list(ex.map(lambda t: _file_stats(t[0], key_col, ts_col), todo))
+        for (abs_p, bucket), (rows, size, mn, mx, t_mn, t_mx) in zip(todo, stats):
             if rows == 0:
                 continue
             entries.append(
@@ -289,6 +327,8 @@ class LakeTable:
                     "schema_version": st.schema.schema_version,
                     "min_key": mn,
                     "max_key": mx,
+                    "min_ts": t_mn,
+                    "max_ts": t_mx,
                 }
             )
         return entries
@@ -419,17 +459,7 @@ class LakeTable:
         untouched_note = len(st.files) - len(old_entries)
 
         if old_entries:
-            by_sv: dict[int, list[str]] = {}
-            for e in old_entries:
-                by_sv.setdefault(e["schema_version"], []).append(os.path.join(self.path, e["path"]))
-            parts = []
-            for sv, paths in sorted(by_sv.items()):
-                fs = st.schemas[sv]
-                dfp = self.spark.read.schema(fs.to_spark()).parquet(*paths)
-                parts.append(align_to(dfp, fs, st.schema))
-            old = parts[0]
-            for p in parts[1:]:
-                old = old.unionByName(p)
+            old = self._read_entries(old_entries, st)
         else:
             old = self.spark.createDataFrame([], st.schema.to_spark())
 
@@ -559,21 +589,57 @@ class LakeTable:
         self._maybe_checkpoint(v)
         return {"skipped": False, "version": v, "rows_after": sum(e["rows"] for e in adds)}
 
-    def delete_where(self, predicate: str, epoch: int | None = None) -> dict:
+    def delete_where(
+        self,
+        predicate: str,
+        epoch: int | None = None,
+        ts_lower=None,
+        ts_upper=None,
+    ) -> dict:
         """Row-level delete (retention analog S12): rewrite only files that
-        actually contain matching rows (found via input_file_name())."""
+        actually contain matching rows (found via input_file_name()).
+
+        ``ts_lower``/``ts_upper`` are the caller's PROMISE that no row with
+        ``ts_col`` outside ``[ts_lower, ts_upper)`` can satisfy the
+        predicate (accepts ints for integer ts columns, datetimes or ISO
+        strings for timestamp columns). Files whose footer min/max ts stats
+        fall wholly outside the window are pruned from METADATA before any
+        scan — the reference's indexed-timestamp retention delete
+        (`aggregator/repo/repository.go:175-205`): at the design scale a
+        48 h retention pass must touch the 48 h of files, never the
+        whole table."""
         st = self.state()
         if epoch is not None and epoch in st.epochs:
             return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
+        lo, hi = _ts_cmp(ts_lower), _ts_cmp(ts_upper)
+        candidates: list[dict] = []
+        pruned = 0
+        for e in st.files.values():
+            mn, mx = e.get("min_ts"), e.get("max_ts")
+            if hi is not None and mn is not None and mn >= hi:
+                pruned += 1
+                continue
+            if lo is not None and mx is not None and mx < lo:
+                pruned += 1
+                continue
+            candidates.append(e)
+        if not candidates:
+            return {
+                "skipped": False, "version": st.version, "removed_rows": 0,
+                "candidate_files": 0, "pruned_files": pruned,
+            }
         # SQL DELETE semantics: only rows where the predicate is TRUE are
         # deleted — NULL evaluations keep the row (coalesce to FALSE).
         pred_true = F.coalesce(F.expr(predicate), F.lit(False))
-        full = self.read().withColumn("__file", F.input_file_name())
+        cand = self._read_entries(candidates, st).withColumn("__file", F.input_file_name())
         hit_files = [
-            r[0] for r in full.filter(pred_true).select("__file").distinct().collect()
+            r[0] for r in cand.filter(pred_true).select("__file").distinct().collect()
         ]
         if not hit_files:
-            return {"skipped": False, "version": st.version, "removed_rows": 0}
+            return {
+                "skipped": False, "version": st.version, "removed_rows": 0,
+                "candidate_files": len(candidates), "pruned_files": pruned,
+            }
         from urllib.parse import unquote, urlparse
 
         def _to_rel(p: str) -> str:
@@ -587,18 +653,7 @@ class LakeTable:
             raise RuntimeError(
                 f"delete_where: matched files {sorted(hit_rel)} not present in table state"
             )
-        by_sv: dict[int, list[str]] = {}
-        for e in hit_entries:
-            by_sv.setdefault(e["schema_version"], []).append(os.path.join(self.path, e["path"]))
-        parts = []
-        for sv, paths in sorted(by_sv.items()):
-            fs = st.schemas[sv]
-            dfp = self.spark.read.schema(fs.to_spark()).parquet(*paths)
-            parts.append(align_to(dfp, fs, st.schema))
-        old = parts[0]
-        for p in parts[1:]:
-            old = old.unionByName(p)
-        kept = old.filter(~pred_true).withColumn(
+        kept = self._read_entries(hit_entries, st).filter(~pred_true).withColumn(
             _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
         )
         adds = self._write_files(kept, st, max(len(hit_entries), 1))
@@ -614,4 +669,8 @@ class LakeTable:
             },
         )
         self._maybe_checkpoint(v)
-        return {"skipped": False, "version": v}
+        return {
+            "skipped": False, "version": v,
+            "candidate_files": len(candidates), "pruned_files": pruned,
+            "rewritten_files": len(hit_entries),
+        }

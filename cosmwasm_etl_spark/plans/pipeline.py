@@ -497,9 +497,12 @@ class CdcPipeline:
     def vacuum_tombstones(self, older_than_ts: str, epoch: int | None = None) -> dict:
         """Retention pass (S12 analog): physically drop tombstones older than
         the given timestamp — safe once no replay can deliver events older
-        than it."""
+        than it. ``ts_upper`` lets the table prune non-overlapping files
+        from footer stats before any scan."""
         return self.table.delete_where(
-            f"deleted AND warc_ts < timestamp'{older_than_ts}'", epoch=epoch
+            f"deleted AND warc_ts < timestamp'{older_than_ts}'",
+            epoch=epoch,
+            ts_upper=older_than_ts,
         )
 
     # ------------------------------------------------------------ audit (T9)

@@ -137,6 +137,41 @@ def test_delete_where_retention(spark, table):
     assert sorted(r.url for r in table.read().collect()) == ["b", "c"]
 
 
+def test_delete_where_prunes_files_by_ts_stats(spark, table):
+    """Retention must be metadata-pruned, not scan-bound: with a ts window
+    bound, only files whose footer min/max warc_ts stats overlap the window
+    are scanned (the reference's indexed-timestamp delete,
+    `aggregator/repo/repository.go:175-205`)."""
+    # three appends with disjoint ts ranges -> per bucket, one file per range
+    for ep, lo in enumerate([0, 1000, 2000]):
+        rows = [page(f"https://h{i}.example/p", lo + i) for i in range(40)]
+        table.append(spark.createDataFrame(rows, SCHEMA), epoch=ep)
+    st = table.state()
+    entries = list(st.files.values())
+    assert all(e.get("min_ts") is not None for e in entries), "ts stats recorded"
+    cutoff = ts(1000).strftime("%Y-%m-%d %H:%M:%S")
+    overlap = [e for e in entries if e["min_ts"] < _ts_micros(ts(1000))]
+    res = table.delete_where(
+        f"warc_ts < timestamp'{cutoff}'", epoch=10, ts_upper=cutoff
+    )
+    # only the first append's files were candidates; the rest were pruned
+    assert res["candidate_files"] == len(overlap)
+    assert res["pruned_files"] == len(entries) - len(overlap)
+    assert res["candidate_files"] < len(entries)
+    kept = table.read().select("warc_ts").collect()
+    assert len(kept) == 80 and all(r.warc_ts >= ts(1000) for r in kept)
+
+    # a window overlapping nothing: zero candidates, zero scans, no-op
+    res2 = table.delete_where("warc_ts < timestamp'2020-01-01 00:00:00'",
+                              epoch=11, ts_upper="2020-01-01 00:00:00")
+    assert res2["candidate_files"] == 0 and res2["removed_rows"] == 0
+    assert table.read().count() == 80
+
+
+def _ts_micros(d):
+    return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
 def test_merge_only_rewrites_affected_buckets(spark, table):
     import pyspark.sql.functions as FF
 
