@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from cosmwasm_etl_spark.aggregates import IncrementalAggregates
+from cosmwasm_etl_spark.aggregates import IncrementalAggregates, WindowedStatsAggregates
 
 HOUR = 3600
 
@@ -121,6 +121,88 @@ def test_recent_buckets_expire(spark, tmp_path):
     assert all(b.bucket_ts >= t0 + HOUR for b in buckets)
     stats = agg.recent_stats(now_ts=t0 + 3 * HOUR).collect()
     assert len(stats) == 1 and stats[0].vol0 == 2.0
+
+
+def _events_batches(spark, sf_dir, n_batches=4):
+    """The sf events table split into deterministic interleaved batches
+    (late data lands in every batch — the order-insensitivity case)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+    return ev, [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(n_batches)) == b)
+        for b in range(n_batches)
+    ]
+
+
+def test_pair_stats_30m_incremental_equals_one_shot(spark, sf_dir, tmp_path):
+    """Incremental 30-min tumbling pair stats == the driver-verified
+    one-shot windowed_stats_30m query, across an arbitrary batch split
+    (`aggregator/task.go:396-556` analog)."""
+    from cosmwasm_etl_spark.queries import q_windowed_stats_30m
+
+    ev, batches = _events_batches(spark, sf_dir)
+    agg = WindowedStatsAggregates(spark, str(tmp_path / "w30"))
+    for b, batch in enumerate(batches):
+        agg.advance_pair30(batch, batch_id=b)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.n_users, r.sum_value, r.sum_high)
+        for r in agg.pair_stats_30m().collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.n_users, r.sum_value, r.sum_high)
+        for r in q_windowed_stats_30m(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        g, w = got[k], want[k]
+        assert g[0] == w[0] and g[1] == w[1], (k, g, w)
+        assert abs(g[2] - w[2]) < 1e-4, (k, g, w)
+        assert (g[3] is None) == (w[3] is None) and (
+            g[3] is None or abs(g[3] - w[3]) < 1e-4
+        ), (k, g, w)
+
+    # replayed batch: epoch-checked skip, no double-add
+    res = agg.advance_pair30(batches[0], batch_id=0)
+    assert res["skipped"]
+    again = {
+        (r.window_start, r.event_type): r.n_events for r in agg.pair_stats_30m().collect()
+    }
+    assert again == {k: v[0] for k, v in want.items()}
+
+
+def test_account_stats_incremental_equals_one_shot(spark, sf_dir, tmp_path):
+    """Incremental per-account accumulators == the driver-verified one-shot
+    net_position query, across batches and a restart
+    (`pkg/db/parser/repository.go:462-533` analog)."""
+    from cosmwasm_etl_spark.queries import q_net_position
+
+    ev, batches = _events_batches(spark, sf_dir)
+    agg = WindowedStatsAggregates(spark, str(tmp_path / "w30"))
+    for b, batch in enumerate(batches[:2]):
+        agg.advance_account(batch, batch_id=b)
+    # restart: a NEW instance over the same dir continues from stored state
+    agg2 = WindowedStatsAggregates(spark, str(tmp_path / "w30"))
+    for b, batch in enumerate(batches[2:], start=2):
+        agg2.advance_account(batch, batch_id=b)
+
+    got = {
+        r.user_id: (r.sum_purchase, r.sum_click, r.net, r.max_side)
+        for r in agg2.account_stats().collect()
+    }
+    want = {
+        r.user_id: (r.sum_purchase, r.sum_click, r.net, r.max_side)
+        for r in q_net_position(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for g, w in zip(got[k], want[k]):
+            assert abs(g - w) < 1e-4, (k, got[k], want[k])
+
+    # replay of an old batch after restart: no-op
+    res = agg2.advance_account(batches[0], batch_id=0)
+    assert res["skipped"]
 
 
 def test_dag_chained_off_pipeline_commits(spark, tmp_path):
