@@ -182,7 +182,13 @@ def price_series(
     last = swaps.groupBy("a", "b", "height").agg(
         F.max_by("a0", "swap_id").alias("a0l"), F.max_by("a1", "swap_id").alias("a1l")
     )
+    return _assemble_price_rows(last, rpt, base)
 
+
+def _assemble_price_rows(last: DataFrame, rpt: DataFrame, base: str) -> DataFrame:
+    """(height, token, method, price) rows from per-(pair, height) last-swap
+    amounts + the (token, height) route price table — shared by the one-shot
+    series and the incremental advance."""
     direct = (
         last.filter((F.col("a") == base) | (F.col("b") == base))
         .select(
@@ -235,3 +241,148 @@ def price_series(
         )
     )
     return direct.unionByName(route_rows).unionByName(fixed_rows)
+
+
+class IncrementalPrice:
+    """Cursor-seeded incremental price advance — the reference's price task
+    shape (`pkg/dex/price/repository.go:69-90`: scan from NextHeight, fold
+    new heights, persist latest state), chained off upstream commits like
+    the other aggregator tasks.
+
+    State (two keyed lake tables, both epoch-idempotent per batch id):
+
+    - ``reserves``: ONE row per pair — the cumulative reserves as of the
+      cursor (the lp_history latest-seeded pattern);
+    - ``prices``: append-only (height, token, method, price) rows.
+
+    Each :meth:`advance` folds one batch of swaps (complete heights,
+    strictly after the cursor, delivered in order — the CDC replay batch
+    contract) by seeding the batch-local cumulative-reserve window with the
+    stored latest, so cost is O(batch + pairs), never a recompute over
+    history. pytest asserts incremental == the one-shot
+    :func:`price_series` across batch splits and restarts."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        work_dir: str,
+        edges: Iterable[tuple[str, str]],
+        base: str,
+        threshold: float = 0.0,
+        max_hops: int = MAX_ROUTE_HOP_COUNT,
+        num_buckets: int = 8,
+    ):
+        import os
+
+        from pyspark.sql import types as T
+
+        from cosmwasm_etl_spark.lakehouse import LakeTable
+
+        self.spark = spark
+        self.edges = list(edges)
+        self.base = base
+        self.threshold = threshold
+        self.max_hops = max_hops
+        work_dir = os.path.abspath(work_dir)
+        res_schema = T.StructType(
+            [
+                T.StructField("pk", T.StringType(), False),  # "a|b"
+                T.StructField("a", T.StringType(), False),
+                T.StructField("b", T.StringType(), False),
+                T.StructField("height", T.LongType(), False),
+                T.StructField("r0", T.DoubleType(), False),
+                T.StructField("r1", T.DoubleType(), False),
+            ]
+        )
+        price_schema = T.StructType(
+            [
+                T.StructField("token", T.StringType(), False),
+                T.StructField("height", T.LongType(), False),
+                T.StructField("method", T.StringType(), False),
+                T.StructField("price", T.DoubleType(), False),
+            ]
+        )
+        rp, pp = os.path.join(work_dir, "reserves"), os.path.join(work_dir, "prices")
+        if LakeTable(spark, rp).log.exists():
+            self.reserves = LakeTable.load(spark, rp)
+        else:
+            self.reserves = LakeTable.create(
+                spark, rp, res_schema, key_col="pk", ts_col="height", num_buckets=num_buckets
+            )
+        if LakeTable(spark, pp).log.exists():
+            self.prices = LakeTable.load(spark, pp)
+        else:
+            self.prices = LakeTable.create(
+                spark, pp, price_schema, key_col="token", ts_col="height",
+                num_buckets=num_buckets,
+            )
+
+    def advance(self, swaps: DataFrame, batch_id: int) -> dict:
+        """Fold one batch of swaps (a, b, height, a0, a1, swap_id).
+
+        Order of effects matters for crash healing: price rows are appended
+        FIRST (epoch-tagged), then the reserve cursor is merged (its own
+        epoch check) — a crash in between replays into {prices: skip,
+        reserves: apply}, both re-derived from the SAME pre-batch seed."""
+        done_p = batch_id in self.prices.committed_epochs()
+        done_r = batch_id in self.reserves.committed_epochs()
+        if done_p and done_r:
+            return {"batch_id": batch_id, "skipped": True}
+
+        seed = self.reserves.read().select(
+            "a", "b", F.col("r0").alias("s0"), F.col("r1").alias("s1")
+        )
+        per = swaps.groupBy("a", "b", "height").agg(
+            F.sum("a0").alias("d0"), F.sum("a1").alias("d1")
+        )
+        heights = swaps.select("height").distinct()
+        pairs = seed.select("a", "b").unionByName(swaps.select("a", "b")).distinct()
+        grid = pairs.crossJoin(F.broadcast(heights))
+        w = Window.partitionBy("a", "b").orderBy("height").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        res_h = (
+            grid.join(per, ["a", "b", "height"], "left")
+            .join(seed, ["a", "b"], "left")
+            .select(
+                "a",
+                "b",
+                "height",
+                (
+                    F.coalesce(F.col("s0"), F.lit(0.0))
+                    + F.sum(F.coalesce(F.col("d0"), F.lit(0.0))).over(w)
+                ).alias("r0"),
+                (
+                    F.coalesce(F.col("s1"), F.lit(0.0))
+                    + F.sum(F.coalesce(F.col("d1"), F.lit(0.0))).over(w)
+                ).alias("r1"),
+            )
+        )
+        rpt = route_price_table(
+            self.spark, res_h, self.edges, self.base, self.threshold, self.max_hops
+        )
+        last = swaps.groupBy("a", "b", "height").agg(
+            F.max_by("a0", "swap_id").alias("a0l"), F.max_by("a1", "swap_id").alias("a1l")
+        )
+        rows = _assemble_price_rows(last, rpt, self.base).select(
+            "token", F.col("height").cast("long").alias("height"), "method", "price"
+        )
+        r1 = self.prices.append(rows, epoch=batch_id)
+
+        latest = res_h.groupBy("a", "b").agg(
+            F.max_by(F.struct("height", "r0", "r1"), "height").alias("__l")
+        ).select(
+            F.concat_ws("|", "a", "b").alias("pk"),
+            "a",
+            "b",
+            F.col("__l.height").alias("height"),
+            F.col("__l.r0").alias("r0"),
+            F.col("__l.r1").alias("r1"),
+        )
+        r2 = self.reserves.merge_upserts(
+            latest, epoch=batch_id, op_col=None, order_cols=["height"]
+        )
+        return {"batch_id": batch_id, "prices": r1, "reserves": r2}
+
+    def price_rows(self) -> DataFrame:
+        return self.prices.read().select("height", "token", "method", "price")

@@ -133,3 +133,72 @@ def test_direct_price_orientation(spark):
                               out[out.method == "direct"].price)}
     assert d["z"] == pytest.approx(0.25)
     assert d["alpha"] == pytest.approx(1.0 / 3.0)
+
+
+def _mk_swaps_rows(heights):
+    rows = []
+    sid = 0
+    for h in heights:
+        for (a, b), (d0, d1) in {
+            ("base", "x"): (100.0, 50.0),
+            ("top", "x"): (30.0, 80.0),
+            ("base", "y"): (400.0, 100.0),
+            ("top", "y"): (10.0, 200.0),
+            ("base", "top"): (5.0, 4.0) if h >= 3 else (0.5, 0.4),
+        }.items():
+            aa, bb = (a, b) if a < b else (b, a)
+            aa0, aa1 = (d0, d1) if a < b else (d1, d0)
+            rows.append((aa, bb, h, aa0 * h, aa1 * h, sid + h * 100))
+            sid += 1
+    return rows
+
+
+def test_incremental_price_equals_one_shot(spark, tmp_path):
+    """Cursor-seeded incremental price advance == the one-shot price_series
+    over the full swap log, across batch splits, replays, and restarts
+    (`pkg/dex/price/repository.go:69-90` NextHeight analog)."""
+    from cosmwasm_etl_spark.price import IncrementalPrice
+
+    heights = [1, 2, 3, 4, 5, 6]
+    all_rows = _mk_swaps_rows(heights)
+    full = _swaps_df(spark, all_rows)
+    want = {
+        (r.height, r.token, r.method): round(r.price, 9)
+        for r in price_series(full, spark, EDGES, "base", threshold=10.0).collect()
+    }
+
+    inc = IncrementalPrice(spark, str(tmp_path / "price"), EDGES, "base", threshold=10.0)
+    splits = [(1, 2), (3, 4), (5, 6)]
+    for b, hs in enumerate(splits):
+        batch = _swaps_df(spark, [r for r in all_rows if r[2] in hs])
+        inc.advance(batch, batch_id=b)
+
+    got = {
+        (r.height, r.token, r.method): round(r.price, 9)
+        for r in inc.price_rows().collect()
+    }
+    assert got == want
+
+    # replayed batch: no duplicate price rows, reserves unchanged
+    res = inc.advance(_swaps_df(spark, [r for r in all_rows if r[2] in splits[0]]), 0)
+    assert res["skipped"]
+    assert {
+        (r.height, r.token, r.method): round(r.price, 9)
+        for r in inc.price_rows().collect()
+    } == want
+
+    # restart: a NEW instance over the same dir continues from the cursor
+    inc2 = IncrementalPrice(spark, str(tmp_path / "price"), EDGES, "base", threshold=10.0)
+    more = _mk_swaps_rows([7, 8])
+    inc2.advance(_swaps_df(spark, more), batch_id=3)
+    want_full = {
+        (r.height, r.token, r.method): round(r.price, 9)
+        for r in price_series(
+            _swaps_df(spark, all_rows + more), spark, EDGES, "base", threshold=10.0
+        ).collect()
+    }
+    got_full = {
+        (r.height, r.token, r.method): round(r.price, 9)
+        for r in inc2.price_rows().collect()
+    }
+    assert got_full == want_full
