@@ -172,6 +172,88 @@ def _ts_micros(d):
     return int(d.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
 
 
+def test_commit_log_cas_exactly_one_winner(tmp_path):
+    """The optimistic put-if-absent protocol at the log level: N writers
+    racing the same version — exactly one wins, every loser gets
+    CommitConflict, and the winning payload is intact
+    (`parser/dex/repo/repository.go:117` CAS analog)."""
+    import threading
+
+    from cosmwasm_etl_spark.lakehouse.log import CommitConflict, TableLog
+
+    log = TableLog(str(tmp_path / "t"))
+    n = 8
+    barrier = threading.Barrier(n)
+    outcomes = [None] * n
+
+    def race(i):
+        barrier.wait()
+        try:
+            log.write_commit(1, {"operation": "merge", "summary": {"writer": i},
+                                 "schema": None, "add": [], "remove": []})
+            outcomes[i] = "won"
+        except CommitConflict:
+            outcomes[i] = "lost"
+
+    threads = [threading.Thread(target=race, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes.count("won") == 1 and outcomes.count("lost") == n - 1
+    winner = outcomes.index("won")
+    assert log.read_commit(1)["summary"]["writer"] == winner
+    assert log.latest_version() == 1
+
+
+def test_concurrent_writers_race_retry_no_lost_commit(spark, table):
+    """Two writers racing a MERGE into the same table: the CAS loser
+    retries on top of the winner's snapshot; afterwards BOTH writers'
+    rows and epochs are present — no lost update."""
+    import threading
+
+    from cosmwasm_etl_spark.lakehouse import LakeTable
+    from cosmwasm_etl_spark.lakehouse.log import CommitConflict
+
+    table.append(
+        spark.createDataFrame([page("seed-a", 1), page("seed-b", 1)], SCHEMA), epoch=0
+    )
+    path = table.path
+    barrier = threading.Barrier(2)
+    results: dict[str, dict] = {}
+    errors: list[BaseException] = []
+
+    def writer(name: str, urls: list[str], epoch: int):
+        try:
+            t = LakeTable(spark, path)  # independent handle, shared log
+            batch = _batch(spark, [(page(u, 5, f"w-{name}"), "update") for u in urls])
+            barrier.wait()
+            conflicts = 0
+            while True:
+                try:
+                    res = t.merge_upserts(batch, epoch=epoch, order_cols=["warc_ts"])
+                    break
+                except CommitConflict:
+                    conflicts += 1
+                    assert conflicts < 10, "livelock"
+            results[name] = {**res, "conflicts": conflicts}
+        except BaseException as e:  # surface thread failures to pytest
+            errors.append(e)
+
+    t1 = threading.Thread(target=writer, args=("w1", [f"u{i}" for i in range(8)], 101))
+    t2 = threading.Thread(target=writer, args=("w2", [f"v{i}" for i in range(8)], 102))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errors, errors
+    assert not results["w1"].get("skipped") and not results["w2"].get("skipped")
+    # both epochs committed, all 18 rows present — nothing lost either way
+    fresh = LakeTable(spark, path)
+    assert {101, 102} <= fresh.committed_epochs()
+    rows = {r.url: r.text for r in fresh.read().collect()}
+    assert len(rows) == 18
+    assert all(rows[f"u{i}"] == "w-w1" for i in range(8))
+    assert all(rows[f"v{i}"] == "w-w2" for i in range(8))
+
+
 def test_merge_only_rewrites_affected_buckets(spark, table):
     import pyspark.sql.functions as FF
 
