@@ -94,6 +94,7 @@ class CdcPipeline:
         quarantine_mode: str = "batch",
         extractor: str = "arrow",
         post_commit=None,
+        winner_mode: str = "keys",
     ):
         """``sink_mode``:
 
@@ -141,6 +142,15 @@ class CdcPipeline:
         if extractor not in ("arrow", "jvm"):
             raise ValueError(f"unknown extractor: {extractor}")
         self.extractor = extractor
+        # "keys" (default): two-phase winner selection — the dedup exchange
+        # carries ~24 B/event key columns and payloads are fetched by a
+        # bounded broadcast seq-join (round-2 plan). "full": single-phase
+        # dedup whose exchange carries whole rows incl. the 8 KB html
+        # (round-1 plan) — kept as the bench A/B control; both converge to
+        # identical table state (tested).
+        if winner_mode not in ("keys", "full"):
+            raise ValueError(f"unknown winner_mode: {winner_mode}")
+        self.winner_mode = winner_mode
         # T6 downstream-task barrier (the aggregator scheduler-DAG analog,
         # `aggregator/aggregator.go:69-84`): called AFTER each batch's
         # atomic commit as post_commit(events_df, batch_id, stats). The
@@ -246,8 +256,11 @@ class CdcPipeline:
         # seq-join to fetch winner payloads; (3) ONE bucket repartition of
         # winner rows only; (4) extraction AFTER the repartition, so the
         # shuffled bytes are raw html, never html+text.
-        winner_seqs = self._winner_seqs(valid)
-        winners = self._fetch_winners(events, winner_seqs)
+        if self.winner_mode == "full":
+            winners = self._dedup(valid)
+        else:
+            winner_seqs = self._winner_seqs(valid)
+            winners = self._fetch_winners(events, winner_seqs)
         n_buckets = self.table.state().num_buckets
         placed = winners.withColumn(
             "__b", self.table._bucket_expr("url", n_buckets)

@@ -153,6 +153,15 @@ def test_window_dedup_strategy_equivalent(spark, tmp_path, events_df):
     assert pipe.audit(events_df).count() == 0
 
 
+def test_winner_mode_full_equivalent(spark, tmp_path, events_df):
+    """The round-1-shape single-phase dedup (exchange carries full rows) —
+    kept as the bench A/B control — must converge to the identical state
+    the default two-phase key-only plan produces."""
+    pipe = make_pipeline(spark, tmp_path, winner_mode="full", sink_mode="mor")
+    pipe.run_replay(events_df, epochs_per_batch=EPB)
+    assert pipe.audit(events_df).count() == 0
+
+
 def test_mor_sink_equivalent_and_compacts(spark, tmp_path, events_df):
     """Merge-on-read sink: delta appends + periodic compaction converge to
     the same state as COW, including across a restart mid-stream."""
