@@ -11,11 +11,15 @@ frame-concatenated video container — implemented with numpy only:
 - :func:`decode_wav_pcm16` → mono-mixed float32 samples;
 - :func:`sample_video_frames` → every-k-th frame of a ``RAWV`` container.
 
-Compressed codecs (JPEG/PNG/H.264/MP3) require libraries absent from this
-container; those paths raise ``NotImplementedError`` EXPLICITLY (never a
-silent fake) — swap in PIL/ffmpeg in production. The Spark-side shape —
-schema, Arrow batch streaming, no introduced shuffle — is identical either
-way and is what the tests pin down.
+Baseline JPEG is ALSO real — a pure-numpy encoder/decoder in
+:mod:`cosmwasm_etl_spark.functions.jpeg` (huffman + DCT from the public
+T.81 spec), covering the most common crawl image format. Remaining
+compressed codecs (PNG/H.264/MP3, progressive or subsampled JPEG) require
+libraries absent from this container; those paths raise
+``NotImplementedError`` EXPLICITLY (never a silent fake) — swap in
+PIL/ffmpeg in production. The Spark-side shape — schema, Arrow batch
+streaming, no introduced shuffle — is identical either way and is what the
+tests pin down.
 """
 
 from __future__ import annotations
@@ -86,20 +90,41 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
 
 
-def resize_image(payload: bytes, w: int, h: int) -> bytes:
-    """Deterministic nearest-neighbor resize of a PPM payload (returns PPM).
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode an image payload to HxWx3 uint8: binary PPM (P6) or baseline
+    JPEG (pure-numpy codec). PNG/WebP/progressive-JPEG raise
+    NotImplementedError explicitly."""
+    if payload is None:
+        raise ValueError("NULL payload")
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload[:2] == b"\xff\xd8":
+        from cosmwasm_etl_spark.functions.jpeg import decode_baseline_jpeg
 
-    Compressed formats need a codec library: raises NotImplementedError for
-    anything that is not P6."""
-    if payload is None or not payload.startswith(b"P6"):
+        return decode_baseline_jpeg(payload)
+    raise NotImplementedError("image decode implemented for PPM and baseline JPEG only")
+
+
+def resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic nearest-neighbor resize, format-preserving: PPM in →
+    PPM out, baseline JPEG in → baseline JPEG out (pure-numpy codec).
+
+    Other compressed formats need a codec library: raises
+    NotImplementedError."""
+    if payload is None or not (payload.startswith(b"P6") or payload[:2] == b"\xff\xd8"):
         raise NotImplementedError(
-            "resize implemented for binary PPM only; JPEG/PNG need PIL/opencv"
+            "resize implemented for binary PPM and baseline JPEG; PNG needs PIL/opencv"
         )
-    img = decode_ppm(payload)
+    img = decode_image(payload)
     src_h, src_w, _ = img.shape
     rows = (np.arange(h) * src_h // h).clip(0, src_h - 1)
     cols = (np.arange(w) * src_w // w).clip(0, src_w - 1)
-    return encode_ppm(img[rows][:, cols])
+    resized = img[rows][:, cols]
+    if payload[:2] == b"\xff\xd8":
+        from cosmwasm_etl_spark.functions.jpeg import encode_baseline_jpeg
+
+        return encode_baseline_jpeg(resized)
+    return encode_ppm(resized)
 
 
 def decode_wav_pcm16(payload: bytes) -> np.ndarray:
@@ -167,8 +192,8 @@ def _feature_of(kind: str, payload: bytes) -> tuple[int | None, int | None, int 
     if payload is None:
         return None, None, None, None, []
     try:
-        if kind == "image" and payload.startswith(b"P6"):
-            img = decode_ppm(payload)
+        if kind == "image" and (payload.startswith(b"P6") or payload[:2] == b"\xff\xd8"):
+            img = decode_image(payload)
             h, w, _ = img.shape
             means = img.reshape(-1, 3).mean(axis=0) / 255.0
             stds = img.reshape(-1, 3).std(axis=0) / 255.0
@@ -235,7 +260,8 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 
 
 def _synth_payload(media_id: int, kind: str) -> bytes:
-    """Deterministic REAL payloads: 16x12 PPM gradients, 400-sample PCM-16
+    """Deterministic REAL payloads: 16x12 images (PPM for even image ids,
+    baseline JPEG for odd — exercising both decoders), 400-sample PCM-16
     WAV sine-ish waves, 4-frame 8x6 RAWV clips."""
     rng = (media_id * 2654435761) & 0xFFFFFFFF
     if kind == "image":
@@ -244,6 +270,10 @@ def _synth_payload(media_id: int, kind: str) -> bytes:
             [(x * 16 + rng) % 256, (y * 21 + rng // 3) % 256, (x * y + rng // 7) % 256],
             axis=-1,
         ).astype(np.uint8)
+        if (media_id // 3) % 2:
+            from cosmwasm_etl_spark.functions.jpeg import encode_baseline_jpeg
+
+            return encode_baseline_jpeg(img, quality=90)
         return encode_ppm(img)
     if kind == "audio":
         t = np.arange(400, dtype=np.float32)
@@ -277,17 +307,16 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
             payloads = [
                 _synth_payload(int(m), k) for m, k in zip(pdf["media_id"], pdf["kind"])
             ]
-            mimes = {
-                "image": "image/x-portable-pixmap",
-                "audio": "audio/wav",
-                "video": "video/x-rawv",
-            }
+            mimes = {"audio": "audio/wav", "video": "video/x-rawv"}
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": payloads,
-                    "mime": [mimes[k] for k in pdf["kind"]],
+                    "mime": [
+                        _image_mime(p) if k == "image" else mimes[k]
+                        for k, p in zip(pdf["kind"], payloads)
+                    ],
                     "width": [16 if k == "image" else (8 if k == "video" else None) for k in pdf["kind"]],
                     "height": [12 if k == "image" else (6 if k == "video" else None) for k in pdf["kind"]],
                     "duration_ms": [50 if k == "audio" else (None if k == "image" else 4 * 40) for k in pdf["kind"]],
@@ -297,7 +326,11 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return base.mapInPandas(gen, MEDIA_SCHEMA)
 
 
-MEDIA_FIXTURE_PATH = "/tmp/spark_graft_fixtures/media_256_v1.parquet"
+MEDIA_FIXTURE_PATH = "/tmp/spark_graft_fixtures/media_256_v2.parquet"
+
+
+def _image_mime(payload: bytes) -> str:
+    return "image/jpeg" if payload[:2] == b"\xff\xd8" else "image/x-portable-pixmap"
 
 
 def ensure_media_fixture(path: str | None = None, n: int = 256) -> str:
@@ -314,20 +347,21 @@ def ensure_media_fixture(path: str | None = None, n: int = 256) -> str:
     if os.path.exists(path):
         return path
     kinds_l = ["image", "audio", "video"]
-    mimes = {
-        "image": "image/x-portable-pixmap",
-        "audio": "audio/wav",
-        "video": "video/x-rawv",
-    }
     ids = list(range(n))
     kinds = [kinds_l[i % 3] for i in ids]
     payloads = [_synth_payload(i, k) for i, k in zip(ids, kinds)]
+
+    def _mime(k: str, p: bytes) -> str:
+        return _image_mime(p) if k == "image" else (
+            "audio/wav" if k == "audio" else "video/x-rawv"
+        )
+
     tbl = pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
             "kind": pa.array(kinds, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array([mimes[k] for k in kinds], pa.string()),
+            "mime": pa.array([_mime(k, p) for k, p in zip(kinds, payloads)], pa.string()),
             "width": pa.array(
                 [16 if k == "image" else (8 if k == "video" else None) for k in kinds],
                 pa.int32(),

@@ -1,0 +1,92 @@
+"""Pure-numpy baseline JPEG codec: round-trip accuracy, container
+well-formedness, multimodal integration (no Spark needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from cosmwasm_etl_spark.functions.jpeg import (
+    decode_baseline_jpeg,
+    encode_baseline_jpeg,
+)
+from cosmwasm_etl_spark.functions.multimodal import (
+    _feature_of,
+    _synth_payload,
+    resize_image,
+)
+
+
+def _psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255**2 / mse)
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 4) % 256, (y * 6) % 256, ((x + y) * 3) % 256], axis=-1).astype(
+        np.uint8
+    )
+
+
+def test_jpeg_round_trip_gradient_odd_dims():
+    img = _gradient(37, 53)  # non-multiple-of-8 on both axes
+    enc = encode_baseline_jpeg(img, quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = decode_baseline_jpeg(enc)
+    assert dec.shape == img.shape
+    assert _psnr(dec, img) > 35
+
+
+def test_jpeg_round_trip_noise_and_flat():
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    assert _psnr(decode_baseline_jpeg(encode_baseline_jpeg(noise, 95)), noise) > 28
+    flat = np.full((16, 16, 3), 123, np.uint8)
+    dec = decode_baseline_jpeg(encode_baseline_jpeg(flat, 75))
+    assert np.abs(dec.astype(int) - 123).max() == 0  # flat blocks are lossless
+
+
+def test_jpeg_deterministic():
+    img = _gradient(16, 16)
+    assert encode_baseline_jpeg(img, 85) == encode_baseline_jpeg(img, 85)
+
+
+def test_jpeg_quality_monotone_size():
+    img = _gradient(32, 32)
+    sizes = [len(encode_baseline_jpeg(img, q)) for q in (30, 60, 90)]
+    assert sizes[0] <= sizes[1] <= sizes[2]
+
+
+def test_jpeg_rejects_garbage_and_progressive_marker():
+    with pytest.raises(ValueError):
+        decode_baseline_jpeg(b"not a jpeg")
+    # minimal stream with an SOF2 (progressive) marker must be refused
+    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+    with pytest.raises(NotImplementedError):
+        decode_baseline_jpeg(prog + b"\xff\xd9")
+
+
+def test_resize_preserves_jpeg_format():
+    img = _gradient(12, 16)
+    enc = encode_baseline_jpeg(img, 90)
+    out = resize_image(enc, 8, 6)
+    assert out[:2] == b"\xff\xd8"
+    dec = decode_baseline_jpeg(out)
+    assert dec.shape == (6, 8, 3)
+    with pytest.raises(NotImplementedError):
+        resize_image(b"\x89PNG\r\n", 8, 8)  # PNG still explicitly unsupported
+
+
+def test_feature_extraction_decodes_jpeg_payloads():
+    """The media generator emits JPEG for odd image ids; _feature_of must
+    report REAL decoded dimensions, not the digest fallback."""
+    jpeg_ids = [i for i in range(0, 60, 3) if (i // 3) % 2]  # image kind, jpeg half
+    assert jpeg_ids
+    for mid in jpeg_ids[:4]:
+        p = _synth_payload(mid, "image")
+        assert p[:2] == b"\xff\xd8"
+        w, h, _ns, _nf, feat = _feature_of("image", p)
+        assert (w, h) == (16, 12) and len(feat) == 8
+        # content features, not the sha fingerprint fallback
+        assert feat != [b / 255.0 for b in __import__("hashlib").sha256(p).digest()[:8]]
