@@ -94,7 +94,7 @@ class CdcPipeline:
         quarantine_mode: str = "batch",
         extractor: str = "arrow",
         post_commit=None,
-        winner_mode: str = "keys",
+        winner_mode: str = "full",
     ):
         """``sink_mode``:
 
@@ -142,12 +142,20 @@ class CdcPipeline:
         if extractor not in ("arrow", "jvm"):
             raise ValueError(f"unknown extractor: {extractor}")
         self.extractor = extractor
-        # "keys" (default): two-phase winner selection — the dedup exchange
-        # carries ~24 B/event key columns and payloads are fetched by a
-        # bounded broadcast seq-join (round-2 plan). "full": single-phase
-        # dedup whose exchange carries whole rows incl. the 8 KB html
-        # (round-1 plan) — kept as the bench A/B control; both converge to
-        # identical table state (tested).
+        # "full" (default): single-phase dedup — ONE scan of the batch, one
+        # hash-aggregate exchange of whole rows. Hot-key safe: max_by's
+        # map-side partial aggregation collapses every key to one candidate
+        # row per map task BEFORE the exchange, so a url with 10^6 updates
+        # ships <= n_map_tasks rows, never 10^6. "keys": two-phase — winner
+        # selection on ~24 B/event key columns, payloads re-fetched by a
+        # bounded broadcast seq-join; the exchange is 333x narrower but the
+        # batch is SCANNED TWICE and the broadcast build is an extra job.
+        # The round-3 interleaved same-window A/B measured full at 2.15x
+        # keys' steady throughput on 8 KB pages (38.9k vs 18.1k ev/s,
+        # BENCH.md) — the exchange that "keys" saves is already collapsed
+        # by partial aggregation, while its second scan is real extra I/O.
+        # Keep "keys" for clusters where shuffle bytes are the binding
+        # constraint (e.g. payload >> page-cache, remote shuffle service).
         if winner_mode not in ("keys", "full"):
             raise ValueError(f"unknown winner_mode: {winner_mode}")
         self.winner_mode = winner_mode
