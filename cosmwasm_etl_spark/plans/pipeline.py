@@ -156,7 +156,13 @@ class CdcPipeline:
         # by partial aggregation, while its second scan is real extra I/O.
         # Keep "keys" for clusters where shuffle bytes are the binding
         # constraint (e.g. payload >> page-cache, remote shuffle service).
-        if winner_mode not in ("keys", "full"):
+        # "bucket": fused single-exchange variant — repartition once on the
+        # table's bucket function, dedup per (bucket, url) with no further
+        # exchange (the bucket partitioning already clusters urls), output
+        # lands pre-placed for the sink. Trades map-side combine (none —
+        # the exchange precedes the agg) for one less full shuffle stage;
+        # prefer "full" when per-map-task key duplication is high.
+        if winner_mode not in ("keys", "full", "bucket"):
             raise ValueError(f"unknown winner_mode: {winner_mode}")
         self.winner_mode = winner_mode
         # T6 downstream-task barrier (the aggregator scheduler-DAG analog,
@@ -259,20 +265,42 @@ class CdcPipeline:
             F.count("__q_err").alias("nq"),
         )
         valid = ev.filter(F.col("__q_err").isNull()).drop("__q_err")
-        # Two-phase latest-wins: (1) winner selection on narrow key columns
-        # (the ONLY aggregate exchange — no html in it); (2) broadcast
-        # seq-join to fetch winner payloads; (3) ONE bucket repartition of
-        # winner rows only; (4) extraction AFTER the repartition, so the
-        # shuffled bytes are raw html, never html+text.
-        if self.winner_mode == "full":
-            winners = self._dedup(valid)
-        else:
-            winner_seqs = self._winner_seqs(valid)
-            winners = self._fetch_winners(events, winner_seqs)
         n_buckets = self.table.state().num_buckets
-        placed = winners.withColumn(
-            "__b", self.table._bucket_expr("url", n_buckets)
-        ).repartition(max(n_buckets, 1), F.col("__b")).drop("__b")
+        # Winner selection + bucket placement (see winner_mode in __init__):
+        # - "bucket": FUSED — one repartition on the table's bucket
+        #   function, then a per-(bucket, url) max_by agg. The repartition's
+        #   HashPartitioning(__b) already satisfies the aggregate's
+        #   ClusteredDistribution(__b, url) (same url ⇒ same bucket ⇒ same
+        #   partition), so the agg adds NO second exchange and its output is
+        #   already bucket-placed for the sink: the whole apply path has
+        #   exactly ONE exchange.
+        # - "full": dedup exchange on url (map-side combined), then a
+        #   second exchange placing winners by bucket.
+        # - "keys": key-only dedup + broadcast payload re-fetch, then the
+        #   bucket exchange.
+        # Extraction always runs AFTER placement, so shuffled bytes are raw
+        # html, never html+text.
+        if self.winner_mode == "bucket":
+            bexpr = self.table._bucket_expr("url", n_buckets)
+            cols = valid.columns
+            row = F.struct(*[F.col(c) for c in cols])
+            order = F.struct(F.col("warc_ts"), F.col("seq"))
+            placed = (
+                valid.withColumn("__b", bexpr)
+                .repartition(max(n_buckets, 1), F.col("__b"))
+                .groupBy("__b", "url")
+                .agg(F.max_by(row, order).alias("__r"))
+                .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+            )
+        else:
+            if self.winner_mode == "full":
+                winners = self._dedup(valid)
+            else:
+                winner_seqs = self._winner_seqs(valid)
+                winners = self._fetch_winners(events, winner_seqs)
+            placed = winners.withColumn(
+                "__b", self.table._bucket_expr("url", n_buckets)
+            ).repartition(max(n_buckets, 1), F.col("__b")).drop("__b")
         if self.extract_versions:
             extracted = with_extracted_text_versioned(
                 placed, self.extract_versions, epoch_col="epoch", html_col="html", out_text="text"

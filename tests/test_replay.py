@@ -153,11 +153,13 @@ def test_window_dedup_strategy_equivalent(spark, tmp_path, events_df):
     assert pipe.audit(events_df).count() == 0
 
 
-def test_winner_mode_full_equivalent(spark, tmp_path, events_df):
-    """The round-1-shape single-phase dedup (exchange carries full rows) —
-    kept as the bench A/B control — must converge to the identical state
-    the default two-phase key-only plan produces."""
-    pipe = make_pipeline(spark, tmp_path, winner_mode="full", sink_mode="mor")
+@pytest.mark.parametrize("mode", ["keys", "bucket"])
+def test_winner_mode_variants_equivalent(spark, tmp_path, events_df, mode):
+    """All winner-selection physical strategies — two-phase key-only
+    ("keys"), fused single-exchange ("bucket") — must converge to the
+    identical state the default single-phase plan produces (the default
+    itself is audited in test_full_replay_matches_oracle)."""
+    pipe = make_pipeline(spark, tmp_path, winner_mode=mode, sink_mode="mor")
     pipe.run_replay(events_df, epochs_per_batch=EPB)
     assert pipe.audit(events_df).count() == 0
 
