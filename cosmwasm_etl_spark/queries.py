@@ -806,6 +806,82 @@ FROM read_parquet('{_MEDIA_FIXTURE}')
 """
 
 
+# =====================================================================
+# Incremental aggregator jobs driven end-to-end as queries: the events
+# table is split into deterministic batches and folded through the REAL
+# incremental machinery (epoch-idempotent lake tables in a fresh temp
+# workspace); the serving view is returned and hash-compared against the
+# SAME DuckDB oracle as the one-shot query — so "incremental == one-shot"
+# is driver-verified, not just pytest-verified.
+# =====================================================================
+
+
+def q_pair_stats_30m_incr(spark, sf_dir):
+    """Incremental 30-min pair stats (`aggregator/task.go:396-556` analog)
+    — four interleaved batches through WindowedStatsAggregates.advance_pair30
+    (late data in every batch), serving view == windowed_stats_30m."""
+    import tempfile
+
+    from cosmwasm_etl_spark.aggregates import WindowedStatsAggregates
+
+    ev = _t(spark, sf_dir, "events")
+    agg = WindowedStatsAggregates(spark, tempfile.mkdtemp(prefix="q_incr_w30_"))
+    for b in range(4):
+        agg.advance_pair30(ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == b), b)
+    return agg.pair_stats_30m()
+
+
+def q_account_stats_incr(spark, sf_dir):
+    """Incremental account stats (`pkg/db/parser/repository.go:462-533`
+    analog) — batched advance_account, serving view == net_position."""
+    import tempfile
+
+    from cosmwasm_etl_spark.aggregates import WindowedStatsAggregates
+
+    ev = _t(spark, sf_dir, "events")
+    agg = WindowedStatsAggregates(spark, tempfile.mkdtemp(prefix="q_incr_acct_"))
+    for b in range(4):
+        agg.advance_account(ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == b), b)
+    return agg.account_stats()
+
+
+def q_price_series_incr(spark, sf_dir):
+    """Cursor-seeded incremental price advance
+    (`pkg/dex/price/repository.go:69-90` NextHeight analog) — the chain
+    market of q_price_series folded in three ascending height ranges;
+    price rows == the one-shot price_series oracle."""
+    import tempfile
+
+    from cosmwasm_etl_spark.price import IncrementalPrice
+
+    ev = _t(spark, sf_dir, "events")
+    pair = (F.col("user_id") % 8).cast("int")
+    sw = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("t"), pair.cast("string")).alias("a"),
+        F.concat(F.lit("t"), (pair + 1).cast("string")).alias("b"),
+        F.floor(F.unix_timestamp("ts") / F.lit(86400)).cast("long").alias("height"),
+        (F.col("value") + 1.0).alias("a0"),
+        ((F.col("value") + 1.0) * (1.0 + ((F.col("event_id") % 7) + 1) / 10.0)).alias("a1"),
+        F.col("event_id").alias("swap_id"),
+    )
+    edges = [(f"t{i}", f"t{i+1}") for i in range(8)]
+    inc = IncrementalPrice(
+        spark, tempfile.mkdtemp(prefix="q_incr_price_"), edges, base="t0",
+        threshold=2000.0, max_hops=8,
+    )
+    # complete heights, ascending order — the CDC replay batch contract
+    hs = sorted(r.height for r in sw.select("height").distinct().collect())
+    splits = [hs[: len(hs) // 3], hs[len(hs) // 3 : 2 * len(hs) // 3], hs[2 * len(hs) // 3 :]]
+    for b, chunk in enumerate(s for s in splits if s):
+        inc.advance(sw.filter(F.col("height").isin(chunk)), b)
+    return inc.price_rows().select(
+        F.col("height").cast("long").alias("height"),
+        "token",
+        "method",
+        F.round("price", 4).alias("price"),
+    )
+
+
 QUERIES = {
     "latest_per_key": q_latest_per_key,
     "first_event_per_key": q_first_event_per_key,
@@ -834,6 +910,9 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "lsh_ann": q_lsh_ann,
     "multimodal_features": q_multimodal_features,
+    "pair_stats_30m_incr": q_pair_stats_30m_incr,
+    "account_stats_incr": q_account_stats_incr,
+    "price_series_incr": q_price_series_incr,
 }
 
 ORACLES = {
@@ -861,6 +940,11 @@ ORACLES = {
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    # the incremental jobs share the one-shot oracles: incremental ==
+    # one-shot is exactly the claim being driver-verified
+    "pair_stats_30m_incr": SQL_WINDOWED_STATS_30M,
+    "account_stats_incr": SQL_NET_POSITION,
+    "price_series_incr": SQL_PRICE_SERIES,
     # minhash_lsh_dups / simhash_dups / lsh_ann: hash-seed-dependent —
     # rows-only driver check; their correctness oracles live in tests/
     # (recall vs the exact methods).
