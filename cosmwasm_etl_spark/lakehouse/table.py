@@ -404,6 +404,14 @@ class LakeTable:
         unconditionally reconciles DB state to the snapshot) — it can roll a
         stored row's order tuple BACKWARDS, so reserve it for trusted
         source-of-truth batches, never live CDC traffic.
+
+        MOR tables (uncompacted deltas ⇒ several rows per key) are safe
+        inputs: the resolution runs per stored row, so each old row is
+        either kept or replaced by the batch row, and the reader's
+        latest-wins resolution picks the max order tuple of the result —
+        identical outcome to compact-then-merge (pinned by the MOR
+        bootstrap test). The physical duplicates persist until the next
+        compaction.
         """
         st = self.state()
         if epoch is not None and epoch in st.epochs:
