@@ -60,7 +60,13 @@ class StallError(RuntimeError):
     """No-new-data stall (T7): the analog of the reference's ErrNoNewHeight
     (`parser/dex/dex.go:367-377`) — raised when ``stall_after`` consecutive
     triggers deliver zero events, so an operator/alert layer can distinguish
-    'source is idle or broken' from 'pipeline is slow'."""
+    'source is idle or broken' from 'pipeline is slow'. Carries the
+    per-batch ``stats`` applied before the stall (work done up to the
+    stall is committed and must not be lost to the caller)."""
+
+    def __init__(self, msg: str, stats: list[dict] | None = None):
+        super().__init__(msg)
+        self.stats = stats or []
 
 
 def run_stream_processing_time(
@@ -113,7 +119,8 @@ def run_stream_processing_time(
             if empty_streak >= stall_after:
                 raise StallError(
                     f"no new events for {stall_after} consecutive triggers "
-                    f"({stall_after * trigger_seconds:.0f}s)"
+                    f"({stall_after * trigger_seconds:.0f}s)",
+                    stats,
                 )
             if stop_after_batches is not None and len(stats) >= stop_after_batches:
                 break

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the CDC ingest engine.
+
+Cluster submit (the north rule's deployment shape)::
+
+    python scripts/make_pyfiles.py
+    spark-submit --master <cluster> \
+        --py-files dist/cosmwasm_etl_spark.zip \
+        jobs/cdc_ingest.py \
+        --events /data/change_events \
+        --table  /lake/pages \
+        --work   /lake/pages_work \
+        --mode   stream           # or: replay | available-now
+
+Modes:
+
+- ``replay``        bounded batch replay of the whole log (deterministic
+                    epoch-derived batch ids; exactly-once on restart);
+- ``available-now`` Structured Streaming catch-up over everything
+                    currently in the log, then exit (checkpointed);
+- ``stream``        steady-state tailing with a processing-time trigger
+                    and no-new-data stall detection (exit code 3 on stall
+                    so the scheduler can distinguish idle-source from
+                    failure — the reference's ErrNoNewHeight contract).
+
+Every knob maps to a documented pipeline/table parameter; the job prints
+one JSON line of summary stats at the end (per-batch lineage is written
+continuously under ``--work``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--events", required=True, help="event-log directory (parquet)")
+    ap.add_argument("--table", required=True, help="lakehouse pages table path")
+    ap.add_argument("--work", required=True, help="work dir (lineage, quarantine)")
+    ap.add_argument("--mode", choices=["replay", "available-now", "stream"], default="replay")
+    ap.add_argument("--epochs-per-batch", type=int, default=10)
+    ap.add_argument("--num-buckets", type=int, default=4096,
+                    help="table buckets; size so one bucket fits an executor")
+    ap.add_argument("--sink-mode", choices=["cow", "mor"], default="mor")
+    ap.add_argument("--winner-mode", choices=["full", "keys", "bucket"], default="full")
+    ap.add_argument("--compact-every", type=int, default=8)
+    ap.add_argument("--max-files-per-trigger", type=int, default=None)
+    ap.add_argument("--trigger-seconds", type=float, default=5.0)
+    ap.add_argument("--stall-after", type=int, default=3)
+    ap.add_argument("--checkpoint", default=None,
+                    help="streaming checkpoint dir (default: <work>/checkpoint)")
+    ap.add_argument("--timeout-sec", type=int, default=24 * 3600)
+    args = ap.parse_args()
+
+    from cosmwasm_etl_spark.lakehouse import LakeTable
+    from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
+    from cosmwasm_etl_spark.session import build_session
+    from cosmwasm_etl_spark.streaming.runner import (
+        StallError,
+        run_stream_available_now,
+        run_stream_processing_time,
+    )
+
+    spark = build_session(app_name=f"cdc-ingest-{args.mode}")
+    if LakeTable(spark, args.table).log.exists():
+        table = LakeTable.load(spark, args.table)
+    else:
+        table = create_pages_table(spark, args.table, num_buckets=args.num_buckets)
+    pipe = CdcPipeline(
+        spark,
+        table,
+        args.work,
+        sink_mode=args.sink_mode,
+        compact_every=args.compact_every,
+        winner_mode=args.winner_mode,
+        quarantine_mode="deferred" if args.mode == "replay" else "batch",
+    )
+    ckpt = args.checkpoint or f"{args.work}/checkpoint"
+
+    stalled = False
+    if args.mode == "replay":
+        events = spark.read.parquet(args.events)
+        stats = pipe.run_replay(events, epochs_per_batch=args.epochs_per_batch)
+    elif args.mode == "available-now":
+        stats = run_stream_available_now(
+            spark, pipe, args.events, ckpt,
+            max_files_per_trigger=args.max_files_per_trigger,
+            timeout_sec=args.timeout_sec,
+        )
+    else:
+        try:
+            stats = run_stream_processing_time(
+                spark, pipe, args.events, ckpt,
+                trigger_seconds=args.trigger_seconds,
+                max_files_per_trigger=args.max_files_per_trigger,
+                stall_after=args.stall_after,
+                timeout_sec=args.timeout_sec,
+            )
+        except StallError as e:
+            print(json.dumps({"stalled": str(e)}), file=sys.stderr)
+            stats = e.stats  # work applied before the stall is committed
+            stalled = True
+
+    applied = [s for s in stats if not s.get("skipped")]
+    print(json.dumps({
+        "mode": args.mode,
+        "batches": len(stats),
+        "applied": len(applied),
+        "skipped": len(stats) - len(applied),
+        "n_events": sum(s.get("n_events") or 0 for s in applied),
+        "n_quarantined": sum(s.get("n_quarantined") or 0 for s in applied),
+        "watermark": table.watermark(),
+        "table_version": table.state().version,
+    }))
+    spark.stop()
+    return 3 if stalled else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
