@@ -330,9 +330,12 @@ class WindowedStatsAggregates:
             .alias("sum_high"),
             F.lit(int(batch_id)).cast("long").alias("last_batch"),
         )
-        res = self.pair30.merge_upserts(
-            merged, epoch=batch_id, op_col=None, order_cols=["last_batch"]
-        )
+        # force: a merged row is ALWAYS current+delta — the newest state by
+        # construction — so the replace must be unconditional; an order
+        # comparison on batch id would silently drop the accumulation when
+        # batches are advanced out of id order (epoch idempotency alone
+        # guards double-application).
+        res = self.pair30.merge_upserts(merged, epoch=batch_id, op_col=None, force=True)
         return {"batch_id": batch_id, **res}
 
     def pair_stats_30m(self) -> DataFrame:
@@ -383,9 +386,9 @@ class WindowedStatsAggregates:
             (F.coalesce(F.col("cc"), F.lit(0.0)) + F.col("dc")).alias("sum_click"),
             F.lit(int(batch_id)).cast("long").alias("last_batch"),
         )
-        res = self.acct.merge_upserts(
-            merged, epoch=batch_id, op_col=None, order_cols=["last_batch"]
-        )
+        # force=True for the same reason as advance_pair30: merged rows are
+        # unconditionally the newest accumulated state
+        res = self.acct.merge_upserts(merged, epoch=batch_id, op_col=None, force=True)
         return {"batch_id": batch_id, **res}
 
     def account_stats(self) -> DataFrame:

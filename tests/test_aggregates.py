@@ -172,6 +172,27 @@ def test_pair_stats_30m_incremental_equals_one_shot(spark, sf_dir, tmp_path):
     assert again == {k: v[0] for k, v in want.items()}
 
 
+def test_pair_stats_30m_out_of_order_batches(spark, sf_dir, tmp_path):
+    """Batches advanced out of id order must still accumulate fully: the
+    merged partial row is current+delta (newest state by construction), so
+    the merge is unconditional — an order comparison on batch id would
+    silently drop overlapping-key accumulations (regression)."""
+    from cosmwasm_etl_spark.queries import q_windowed_stats_30m
+
+    ev, batches = _events_batches(spark, sf_dir)
+    agg = WindowedStatsAggregates(spark, str(tmp_path / "w30"))
+    for b in (3, 0, 2, 1):  # deliberately shuffled ids
+        agg.advance_pair30(batches[b], batch_id=b)
+    got = {
+        (r.window_start, r.event_type): r.n_events for r in agg.pair_stats_30m().collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in q_windowed_stats_30m(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_account_stats_incremental_equals_one_shot(spark, sf_dir, tmp_path):
     """Incremental per-account accumulators == the driver-verified one-shot
     net_position query, across batches and a restart
