@@ -195,25 +195,18 @@ class CdcPipeline:
         keys = valid.select("url", "warc_ts", "seq")
         return self._dedup(keys).select("seq")
 
-    def _fetch_winners(
-        self, events: DataFrame, winner_seqs: DataFrame, bounded: bool = True
-    ) -> DataFrame:
-        """Join the full-width events back to the winner seq set.
+    def _fetch_winners(self, events: DataFrame, winner_seqs: DataFrame) -> DataFrame:
+        """Join the full-width events back to the winner seq set
+        (winner_mode="keys" only — always per-micro-batch).
 
-        ``bounded=True`` (the per-micro-batch apply path): the seq set is one
-        long column bounded by the micro-batch's distinct key count (itself
-        bounded by backpressure/epochs_per_batch), so a forced broadcast is
-        safe by construction; the events side is NEVER shuffled — its 8 KB
-        payloads stay in their scan partitions until the single bucket
-        repartition before the sink write.
-
-        ``bounded=False`` (the full-log audit path): the winner set is one
-        row per distinct url in the CORPUS — far beyond broadcast size at the
-        design scale — so no hint is forced and AQE picks the join strategy
-        (it will still broadcast at test scale)."""
-        if bounded:
-            winner_seqs = F.broadcast(winner_seqs)
-        return events.join(winner_seqs, "seq")
+        The seq set is one long column bounded by the micro-batch's distinct
+        key count (itself bounded by backpressure/epochs_per_batch), so the
+        forced broadcast is safe by construction; the events side is NEVER
+        shuffled — its 8 KB payloads stay in their scan partitions until the
+        single bucket repartition before the sink write. (The full-log audit
+        does NOT come through here: its winner set is corpus-sized, so
+        expected_state uses the single-phase dedup instead.)"""
+        return events.join(F.broadcast(winner_seqs), "seq")
 
     def apply_batch(self, events: DataFrame, batch_id: int) -> dict:
         """Apply one micro-batch of change events. Idempotent on batch_id.
@@ -561,17 +554,18 @@ class CdcPipeline:
         (A6/T9 analog — `parser/dex/repo/repository.go:136-168`.)
 
         Same logical shape as apply: masked single-scan validity check
-        (valid-utf8 rows never cross the Arrow channel), key-only winner
-        selection, seq-join payload fetch. Unlike the per-batch apply path,
-        the winner set here is one row per distinct url in the CORPUS —
-        unbounded — so the fetch join is NOT broadcast-forced; AQE picks the
-        strategy (broadcast at test scale, shuffle join beyond threshold)."""
+        (valid-utf8 rows never cross the Arrow channel), then the
+        single-phase latest-wins dedup — ONE scan of the log, map-side
+        combine before the exchange. (The two-phase key-only + payload
+        re-fetch shape was measured 2x slower in the round-3 A/B AND its
+        winner set — one row per distinct url in the corpus — is unbounded
+        here, so there is no broadcast to exploit; see BENCH.md.)"""
         is_ok_fast = (F.length("html") == F.lit(0)) | F.is_valid_utf8(F.col("html"))
         masked = F.when(~is_ok_fast, F.col("html"))
         valid = events.withColumn("__q_err", check_quarantine_udf()(masked)).filter(
             F.col("__q_err").isNull()
         ).drop("__q_err")
-        winners = self._fetch_winners(events, self._winner_seqs(valid), bounded=False)
+        winners = self._dedup(valid)
         alive = winners.filter(F.col("op") != "delete")
         return with_extracted_text(alive).filter(F.col("__extract_err").isNull()).select(
             "url", "warc_ts", "html", "text", "lang"

@@ -92,6 +92,30 @@ def test_simhash_plan_is_pure_jvm(spark, sf_dir):
     assert "partial_sum" in plan.lower()  # map-side combine of the bit votes
 
 
+def test_bucket_mode_apply_has_single_exchange(spark, tmp_path):
+    """winner_mode='bucket': one repartition on the table's bucket function;
+    the per-(bucket, url) aggregate must add NO second exchange (its
+    clustered-distribution requirement is satisfied by the bucket
+    partitioning) — the fused plan the mode exists for."""
+    from cosmwasm_etl_spark.sources.eventlog import synthetic_events, write_event_log
+
+    ev = synthetic_events(spark, 2_000, n_urls=200, events_per_epoch=500)
+    write_event_log(ev, str(tmp_path / "ev"), range_partitions=2)
+    events = spark.read.parquet(str(tmp_path / "ev"))
+    bexpr = F.pmod(F.xxhash64(F.col("url")), F.lit(8)).cast("int")
+    cols = events.columns
+    row = F.struct(*[F.col(c) for c in cols])
+    placed = (
+        events.withColumn("__b", bexpr)
+        .repartition(8, F.col("__b"))
+        .groupBy("__b", "url")
+        .agg(F.max_by(row, F.struct("warc_ts", "seq")).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in cols])
+    )
+    plan = _plan(placed)
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_dedup_exchange_is_narrow(spark, tmp_path):
     """Round-2 scaling fix: the winner-selection exchange must carry ONLY
     the key columns (url, warc_ts, seq) — the 8 KB html payload stays out
