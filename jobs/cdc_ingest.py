@@ -53,7 +53,19 @@ def main() -> int:
     ap.add_argument("--checkpoint", default=None,
                     help="streaming checkpoint dir (default: <work>/checkpoint)")
     ap.add_argument("--timeout-sec", type=int, default=24 * 3600)
+    ap.add_argument("--schema-evolutions", default=None,
+                    help="JSON file: [[at_epoch, change, spec], ...] applied at the "
+                         "same epoch boundary on every (re)play (replay mode only); "
+                         "change in {add_column, rename_column, widen_type}")
     args = ap.parse_args()
+
+    evolutions = None
+    if args.schema_evolutions:
+        with open(args.schema_evolutions) as f:
+            evolutions = [(int(e[0]), str(e[1]), dict(e[2])) for e in json.load(f)]
+        if args.mode != "replay":
+            raise SystemExit("--schema-evolutions requires --mode replay "
+                             "(streaming applies evolutions out-of-band)")
 
     from cosmwasm_etl_spark.lakehouse import LakeTable
     from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
@@ -83,7 +95,10 @@ def main() -> int:
     stalled = False
     if args.mode == "replay":
         events = spark.read.parquet(args.events)
-        stats = pipe.run_replay(events, epochs_per_batch=args.epochs_per_batch)
+        stats = pipe.run_replay(
+            events, epochs_per_batch=args.epochs_per_batch,
+            schema_evolutions=evolutions,
+        )
     elif args.mode == "available-now":
         stats = run_stream_available_now(
             spark, pipe, args.events, ckpt,
