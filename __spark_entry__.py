@@ -64,6 +64,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from cosmwasm_etl_spark.queries import ORACLES
+    from cosmwasm_etl_spark.queries import build_oracles
 
-    return dict(ORACLES)
+    return build_oracles()

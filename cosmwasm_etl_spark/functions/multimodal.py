@@ -219,8 +219,12 @@ def _feature_of(kind: str, payload: bytes) -> tuple[int | None, int | None, int 
             ]
             f = ([mean0, meanN] + deltas + [0.0] * 6)[:8]
             return w, h, None, n, [float(x) for x in f]
-    except ValueError:
-        pass  # malformed payload -> fingerprint fallback below
+    except (ValueError, NotImplementedError, struct.error, KeyError, IndexError):
+        # Malformed/truncated payloads AND declared codec gaps (progressive
+        # or subsampled JPEG raise NotImplementedError from the decoder) all
+        # take the documented digest-fingerprint fallback — one bad blob must
+        # never crash the whole mapInPandas job.
+        pass
     d = hashlib.sha256(payload).digest()
     return None, None, None, None, [b / 255.0 for b in d[:8]]
 
@@ -260,9 +264,10 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 
 
 def _synth_payload(media_id: int, kind: str) -> bytes:
-    """Deterministic REAL payloads: 16x12 images (PPM for even image ids,
-    baseline JPEG for odd — exercising both decoders), 400-sample PCM-16
-    WAV sine-ish waves, 4-frame 8x6 RAWV clips."""
+    """Deterministic REAL payloads: 16x12 images alternating PPM / baseline
+    JPEG on ``(media_id // 3) % 2`` — i.e. every other image row in
+    kind-cycle order gets JPEG, exercising both decoders — plus 400-sample
+    PCM-16 WAV sine-ish waves and 4-frame 8x6 RAWV clips."""
     rng = (media_id * 2654435761) & 0xFFFFFFFF
     if kind == "image":
         y, x = np.mgrid[0:12, 0:16]

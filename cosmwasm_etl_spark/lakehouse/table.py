@@ -78,11 +78,19 @@ class TableState:
         return st
 
 
-def _ts_cmp(v):
+def _ts_cmp(v, round_down: bool = True):
     """Normalize a ts-domain value to a comparable int (epoch micros for
     datetimes — naive treated as UTC; raw int for integer ts columns).
-    Returns None for un-normalizable values (disables pruning for them)."""
+    Returns None for un-normalizable values (disables pruning for them).
+
+    Fractional values are rounded in the CONSERVATIVE direction for the
+    caller's use — ``round_down=True`` floors (lower bounds / file min
+    stats), ``round_down=False`` ceils (upper bounds / file max stats) — so
+    float bounds can only widen a pruning window, never shrink it (a
+    truncate-toward-zero here could prune a file still holding matching
+    rows)."""
     import datetime as _dt
+    import math
 
     if v is None:
         return None
@@ -91,7 +99,7 @@ def _ts_cmp(v):
     if isinstance(v, int):
         return v
     if isinstance(v, float):
-        return int(v)
+        return math.floor(v) if round_down else math.ceil(v)
     if isinstance(v, str):
         try:
             v = _dt.datetime.fromisoformat(v)
@@ -134,7 +142,7 @@ def _file_stats(
     if not (isinstance(k_mn, str) and isinstance(k_mx, str)):
         k_mn = k_mx = None
     t_mn, t_mx = _col_minmax(ts_col)
-    return rows, size, k_mn, k_mx, _ts_cmp(t_mn), _ts_cmp(t_mx)
+    return rows, size, k_mn, k_mx, _ts_cmp(t_mn, True), _ts_cmp(t_mx, False)
 
 
 class LakeTable:
@@ -619,7 +627,7 @@ class LakeTable:
         st = self.state()
         if epoch is not None and epoch in st.epochs:
             return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
-        lo, hi = _ts_cmp(ts_lower), _ts_cmp(ts_upper)
+        lo, hi = _ts_cmp(ts_lower, True), _ts_cmp(ts_upper, False)
         candidates: list[dict] = []
         pruned = 0
         for e in st.files.values():

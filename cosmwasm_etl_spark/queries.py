@@ -785,16 +785,13 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-# import-time fixture creation: the driver may run the SQL oracle before (or
-# without) the Spark query — both sides must find the file
-try:
-    from cosmwasm_etl_spark.functions.multimodal import ensure_media_fixture as _emf
+def _sql_multimodal_features() -> str:
+    """Built lazily (at ``oracle_sql()`` time, not import time) so a fixture
+    write failure surfaces AT the oracle run, loudly, instead of silently
+    embedding a nonexistent path in the SQL string."""
+    from cosmwasm_etl_spark.functions.multimodal import ensure_media_fixture
 
-    _MEDIA_FIXTURE = _emf()
-except Exception:  # unwritable /tmp — query still builds it lazily
-    from cosmwasm_etl_spark.functions.multimodal import MEDIA_FIXTURE_PATH as _MEDIA_FIXTURE
-
-SQL_MULTIMODAL_FEATURES = f"""
+    return f"""
 SELECT media_id, kind,
        CAST(octet_length(payload) AS BIGINT) AS n_bytes,
        CASE WHEN kind IN ('image', 'video') THEN width END AS width,
@@ -802,7 +799,7 @@ SELECT media_id, kind,
        CASE WHEN kind = 'audio' THEN CAST(400 AS BIGINT) END AS n_samples,
        CASE WHEN kind = 'video' THEN CAST(4 AS INT) END AS n_frames,
        CAST(8 AS INT) AS n_feature
-FROM read_parquet('{_MEDIA_FIXTURE}')
+FROM read_parquet('{ensure_media_fixture()}')
 """
 
 
@@ -939,7 +936,8 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
-    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    # multimodal_features is added lazily by build_oracles() — its SQL
+    # embeds the media fixture path, which must be created first.
     # the incremental jobs share the one-shot oracles: incremental ==
     # one-shot is exactly the claim being driver-verified
     "pair_stats_30m_incr": SQL_WINDOWED_STATS_30M,
@@ -949,3 +947,11 @@ ORACLES = {
     # rows-only driver check; their correctness oracles live in tests/
     # (recall vs the exact methods).
 }
+
+
+def build_oracles() -> dict[str, str]:
+    """The full oracle map, including entries whose SQL must be built lazily
+    (fixture-path-embedding ones)."""
+    d = dict(ORACLES)
+    d["multimodal_features"] = _sql_multimodal_features()
+    return d

@@ -90,3 +90,20 @@ def test_feature_extraction_decodes_jpeg_payloads():
         assert (w, h) == (16, 12) and len(feat) == 8
         # content features, not the sha fingerprint fallback
         assert feat != [b / 255.0 for b in __import__("hashlib").sha256(p).digest()[:8]]
+
+
+def test_feature_of_falls_back_on_undecodable_jpeg_variants():
+    """Progressive (NotImplementedError), truncated (struct/Index errors),
+    and garbage-after-SOI payloads must ALL take the digest-fingerprint
+    fallback inside _feature_of — a single bad blob in a crawl batch must
+    never crash the mapInPandas job (cf. round-3 advice)."""
+    import hashlib
+
+    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00\xff\xd9"
+    real = encode_baseline_jpeg(_gradient(8, 8), 80)
+    payloads = [prog, real[: len(real) // 3], b"\xff\xd8\xff", b"\xff\xd8" + b"\x00" * 40]
+    for p in payloads:
+        w, h, ns, nf, feat = _feature_of("image", p)
+        want = [b / 255.0 for b in hashlib.sha256(p).digest()[:8]]
+        assert (w, h, ns, nf) == (None, None, None, None)
+        assert feat == want

@@ -271,3 +271,14 @@ def test_merge_only_rewrites_affected_buckets(spark, table):
     assert len(files_before & set(st.files)) > 0
     got = table.read().filter(FF.col("url") == urls[0]).collect()
     assert got[0].text == "upd"
+
+
+def test_ts_cmp_rounds_float_bounds_conservatively():
+    """Float bounds must floor (lower/min) or ceil (upper/max) — truncation
+    toward zero could prune a file still holding matching rows (r3 advice)."""
+    from cosmwasm_etl_spark.lakehouse.table import _ts_cmp
+
+    assert _ts_cmp(5.7, True) == 5 and _ts_cmp(5.7, False) == 6
+    assert _ts_cmp(-2.3, True) == -3 and _ts_cmp(-2.3, False) == -2
+    assert _ts_cmp(4.0, True) == 4 and _ts_cmp(4.0, False) == 4
+    assert _ts_cmp(7, True) == 7 and _ts_cmp(None, False) is None
