@@ -76,6 +76,32 @@ class TableLog:
         except (OSError, ValueError):
             return 0
 
+    def min_version(self) -> int:
+        """Oldest version still reconstructible (1 unless vacuum raised it).
+        Vacuum drops commit files below this and guarantees a checkpoint AT
+        it, so state(v >= min_version) always replays; below it, the history
+        is gone by design (Iceberg expire_snapshots semantics)."""
+        try:
+            with open(os.path.join(self.log_dir, "_min_version")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return 1
+
+    def available_checkpoints(self) -> list[int]:
+        """All checkpoint versions on disk, ascending — lets time travel pick
+        the newest checkpoint <= the target version instead of relying only
+        on the _last_checkpoint pointer."""
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for name in os.listdir(self.log_dir):
+            if name.startswith("_checkpoint.") and name.endswith(".json"):
+                try:
+                    out.append(int(name[len("_checkpoint.") : -5]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     def read_commit(self, version: int) -> dict:
         with open(self._commit_path(version)) as f:
             return json.load(f)
@@ -123,7 +149,45 @@ class TableLog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)  # checkpoint is derivative — overwrite is fine
-        ptr_tmp = os.path.join(self.log_dir, f".tmp-ptr-{uuid.uuid4().hex}")
-        with open(ptr_tmp, "w") as f:
+        # the pointer names the NEWEST checkpoint; vacuum writes a horizon
+        # checkpoint older than the pointer and must not move it backward
+        if version >= self.last_checkpoint_version():
+            ptr_tmp = os.path.join(self.log_dir, f".tmp-ptr-{uuid.uuid4().hex}")
+            with open(ptr_tmp, "w") as f:
+                f.write(str(version))
+            os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def write_min_version(self, version: int) -> None:
+        """Atomically raise the reconstructibility horizon (vacuum only)."""
+        tmp = os.path.join(self.log_dir, f".tmp-minv-{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
             f.write(str(version))
-        os.replace(ptr_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        os.replace(tmp, os.path.join(self.log_dir, "_min_version"))
+
+    def drop_before(self, version: int) -> tuple[int, int]:
+        """Physically delete commit and checkpoint JSON older than
+        ``version``. Caller must FIRST ensure a checkpoint exists at
+        ``version`` and the _min_version marker is raised — this is the last,
+        purely-space-freeing step of vacuum. Returns (commits, checkpoints)
+        deleted."""
+        nc = nk = 0
+        for name in os.listdir(self.log_dir):  # O(dir), not O(version range)
+            if name.endswith(".json") and not name.startswith("_"):
+                try:
+                    v = int(name[:-5])
+                except ValueError:
+                    continue
+                if v < version:
+                    try:
+                        os.unlink(os.path.join(self.log_dir, name))
+                        nc += 1
+                    except OSError:
+                        pass
+        for cv in self.available_checkpoints():
+            if cv < version:
+                try:
+                    os.unlink(self._checkpoint_path(cv))
+                    nk += 1
+                except OSError:
+                    pass
+        return nc, nk

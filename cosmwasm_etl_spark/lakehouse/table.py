@@ -216,10 +216,20 @@ class LakeTable:
     # ------------------------------------------------------------------ state
 
     def state(self, version: int | None = None) -> TableState:
+        min_v = self.log.min_version()
+        if version is not None and version < min_v:
+            raise ValueError(
+                f"version {version} was vacuumed (oldest retained: {min_v})"
+            )
+        # newest checkpoint <= target: the pointer names the newest overall,
+        # but time travel below it must fall back to an older on-disk
+        # checkpoint — after vacuum, replay-from-zero no longer exists
         ckpt_v = self.log.last_checkpoint_version()
+        if version is not None and ckpt_v > version:
+            ckpt_v = max((c for c in self.log.available_checkpoints() if c <= version), default=0)
         st = TableState()
         start = 0
-        if ckpt_v and (version is None or ckpt_v <= version):
+        if ckpt_v:
             d = self.log.read_checkpoint(ckpt_v)
             if d is not None:
                 st = TableState.from_dict(d)
@@ -253,7 +263,7 @@ class LakeTable:
 
     def history(self) -> list[dict]:
         out = []
-        for v, c in self.log.commits_since(0):
+        for v, c in self.log.commits_since(self.log.min_version() - 1):
             out.append({"version": v, "operation": c["operation"], "summary": c.get("summary", {})})
         return out
 
@@ -689,4 +699,88 @@ class LakeTable:
             "skipped": False, "version": v,
             "candidate_files": len(candidates), "pruned_files": pruned,
             "rewritten_files": len(hit_entries),
+        }
+
+    # ------------------------------------------------------------------ vacuum
+
+    def vacuum(self, retain_versions: int = 5, dry_run: bool = False) -> dict:
+        """Physically free storage: expire table versions older than the
+        newest ``retain_versions`` and delete every data file referenced by
+        no retained version — Iceberg's ``expire_snapshots`` +
+        ``remove_orphan_files`` in one pass, the space-freeing counterpart
+        of the reference's retention delete
+        (`aggregator/repo/repository.go:175-205`), which COW merges and MOR
+        compaction make mandatory at the design point: they rewrite affected
+        buckets every few batches, so without vacuum disk grows without
+        bound.
+
+        Protocol (crash-safe at every step, single-writer design):
+
+        1. checkpoint the state AT the horizon (oldest retained version) so
+           every retained version stays replayable without older commits —
+           the _last_checkpoint pointer is never moved backward, so the
+           newest checkpoint is never broken;
+        2. atomically raise the ``_min_version`` marker (time travel below
+           it now raises a clear error instead of replaying missing files);
+        3. drop commit/checkpoint JSON below the horizon;
+        4. delete data files on disk that no retained version references.
+
+        A crash between any two steps leaves a readable table; unreferenced
+        files linger until the next vacuum at worst. Time travel within the
+        horizon is untouched.
+        """
+        if retain_versions < 1:
+            raise ValueError("retain_versions must be >= 1")
+        latest = self.log.latest_version()
+        horizon = max(self.log.min_version(), latest - retain_versions + 1)
+        # union of files live at ANY retained version: live(horizon) plus
+        # everything added after it (a file live at some retained v is one
+        # or the other) — one checkpoint read + O(retained commits), never
+        # a full-history replay
+        st_h = self.state(horizon)
+        live = set(st_h.files.keys())
+        for _v, c in self.log.commits_since(horizon, latest):
+            for e in c.get("add", []):
+                live.add(e["path"])
+        on_disk: list[str] = []
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _dirs, names in os.walk(data_root):
+            for n in names:
+                if n.endswith(".parquet"):
+                    on_disk.append(os.path.relpath(os.path.join(dirpath, n), self.path))
+        garbage = [p for p in on_disk if p not in live]
+        if dry_run:
+            return {
+                "dry_run": True, "horizon": horizon, "latest": latest,
+                "live_files": len(live), "garbage_files": len(garbage),
+                "garbage_bytes": sum(
+                    os.path.getsize(os.path.join(self.path, p)) for p in garbage
+                ),
+            }
+        if horizon > self.log.min_version():
+            self.log.write_checkpoint(horizon, st_h.to_dict())  # step 1
+            self.log.write_min_version(horizon)  # step 2
+            dropped_commits, dropped_ckpts = self.log.drop_before(horizon)  # step 3
+        else:
+            dropped_commits = dropped_ckpts = 0
+        freed = 0
+        for p in garbage:  # step 4
+            abs_p = os.path.join(self.path, p)
+            try:
+                freed += os.path.getsize(abs_p)
+                os.unlink(abs_p)
+            except OSError:
+                pass
+        # prune now-empty uuid stage dirs under data/
+        for dirpath, dirs, names in os.walk(data_root, topdown=False):
+            if dirpath != data_root and not dirs and not names:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+        return {
+            "dry_run": False, "horizon": horizon, "latest": latest,
+            "live_files": len(live), "deleted_files": len(garbage),
+            "freed_bytes": freed, "dropped_commits": dropped_commits,
+            "dropped_checkpoints": dropped_ckpts,
         }

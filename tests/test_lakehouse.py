@@ -282,3 +282,81 @@ def test_ts_cmp_rounds_float_bounds_conservatively():
     assert _ts_cmp(-2.3, True) == -3 and _ts_cmp(-2.3, False) == -2
     assert _ts_cmp(4.0, True) == 4 and _ts_cmp(4.0, False) == 4
     assert _ts_cmp(7, True) == 7 and _ts_cmp(None, False) is None
+
+
+def _on_disk_parquet(root):
+    import os
+
+    out = set()
+    for dirpath, _d, names in os.walk(os.path.join(root, "data")):
+        for n in names:
+            if n.endswith(".parquet"):
+                out.add(os.path.relpath(os.path.join(dirpath, n), root))
+    return out
+
+
+def test_vacuum_frees_rewritten_files_and_keeps_time_travel(spark, table):
+    """After K COW merges + vacuum(retain_versions=3): the on-disk parquet
+    set equals exactly the union of the retained versions' file entries
+    (de-referenced rewrites are PHYSICALLY gone), time travel within the
+    horizon still reads correct rows, below it raises, and the final state
+    is byte-identical to pre-vacuum (r3 missing #1)."""
+    import os
+
+    for e in range(10):  # repeated updates of the same keys -> rewrites
+        rows = [(page(f"u{k}", 10 * e + k, text=f"v{e}"), "update") for k in range(6)]
+        table.merge_upserts(_batch(spark, rows), epoch=e, watermark=10 * e)
+    before = table.read().orderBy("url").collect()
+    latest = table.log.latest_version()
+    disk_before = _on_disk_parquet(table.path)
+
+    dry = table.vacuum(retain_versions=3, dry_run=True)
+    assert dry["dry_run"] and dry["garbage_files"] > 0
+
+    res = table.vacuum(retain_versions=3)
+    horizon = res["horizon"]
+    assert horizon == latest - 2 and res["deleted_files"] == dry["garbage_files"]
+    assert res["freed_bytes"] > 0 and res["dropped_commits"] > 0
+
+    # on-disk set == union of retained versions' entries, nothing more
+    want = set()
+    for v in range(horizon, latest + 1):
+        want |= set(table.state(v).files.keys())
+    assert _on_disk_parquet(table.path) == want
+    assert _on_disk_parquet(table.path) < disk_before
+
+    # current read unchanged; time travel to horizon works; below raises
+    after = table.read().orderBy("url").collect()
+    assert after == before
+    assert {r.url for r in table.read(version=horizon).collect()} == {f"u{k}" for k in range(6)}
+    with pytest.raises(ValueError, match="vacuum"):
+        table.state(horizon - 1)
+
+    # reload from disk (fresh process analog) — state replays from the
+    # horizon checkpoint, never from the dropped prefix
+    t2 = LakeTable.load(spark, table.path)
+    assert t2.read().orderBy("url").collect() == before
+    assert t2.watermark() == table.watermark()
+    assert t2.committed_epochs() == set(range(10))
+
+    # vacuum is idempotent; a subsequent merge + vacuum keeps working
+    res2 = table.vacuum(retain_versions=3)
+    assert res2["deleted_files"] == 0
+    table.merge_upserts(_batch(spark, [(page("u0", 999, "zz"), "update")]), epoch=99)
+    table.vacuum(retain_versions=2)
+    assert [r.text for r in table.read().filter(F.col("url") == "u0").collect()] == ["zz"]
+
+
+def test_vacuum_bounds_disk_across_long_replay(spark, table):
+    """Disk usage stays bounded when vacuum runs on a cadence during a long
+    merge stream — the design-point guarantee."""
+    sizes = []
+    for e in range(12):
+        rows = [(page(f"u{k}", 100 * e + k, text=f"e{e}"), "update") for k in range(8)]
+        table.merge_upserts(_batch(spark, rows), epoch=e)
+        if e % 3 == 2:
+            table.vacuum(retain_versions=2)
+            sizes.append(len(_on_disk_parquet(table.path)))
+    # file count after each vacuum is flat (bounded), not growing
+    assert max(sizes) <= min(sizes) + 8
+    assert len({r.url for r in table.read().collect()}) == 8
