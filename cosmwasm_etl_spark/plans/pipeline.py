@@ -231,16 +231,22 @@ class CdcPipeline:
         t0 = time.time()
         from pyspark.sql import Observation
 
-        # Validity check, JVM-first with a masked python residue: bytes that
-        # are empty or valid UTF-8 have replacement-ratio 0 by definition, so
-        # the (python) ratio rule can only fire on invalid-UTF-8 payloads —
-        # ~0.2% of events. The UDF input is MASKED to NULL for fast rows, so
-        # only the residue's bytes ever cross the Arrow channel (the channel,
-        # not python CPU, is the scaling bottleneck), in ONE scan — no
-        # two-branch union, no double read. Semantics are identical to
-        # running check_quarantine_udf on every row (python rule stays the
+        # Validity check, JVM-first with a masked python residue: the ratio
+        # rule counts U+FFFD in the DECODED string, so it can fire on
+        # invalid-UTF-8 payloads (~0.2% of events) AND on valid UTF-8 whose
+        # text literally contains '�' — the fast path must exclude both or a
+        # literal-U+FFFD page is silently dropped instead of quarantined
+        # (round-3 "What's wrong" #2). JVM `contains(decode(..))` catches the
+        # literal case at column speed. The UDF input is MASKED to NULL for
+        # fast rows, so only the residue's bytes ever cross the Arrow channel
+        # (the channel, not python CPU, is the scaling bottleneck), in ONE
+        # scan — no two-branch union, no double read. Semantics are identical
+        # to running check_quarantine_udf on every row (python rule stays the
         # byte-level arbiter; tested).
-        is_ok_fast = (F.length("html") == F.lit(0)) | F.is_valid_utf8(F.col("html"))
+        is_ok_fast = (F.length("html") == F.lit(0)) | (
+            F.is_valid_utf8(F.col("html"))
+            & ~F.contains(F.decode(F.col("html"), "UTF-8"), F.lit("�"))
+        )
         masked = F.when(~is_ok_fast, F.col("html"))  # NULL for fast rows
 
         obs = Observation(f"cdc-batch-{batch_id}")
@@ -398,10 +404,17 @@ class CdcPipeline:
         return stats
 
     def _capture_quarantine(self, events: DataFrame, batch_id: int) -> int:
-        """Recompute only the dead-letter slice: a JVM-side utf8-validity
-        prefilter (strict superset of the python ratio rule) prunes ~99.8%
-        of rows before any byte crosses to Python."""
-        candidates = events.filter((F.length("html") > 0) & ~F.is_valid_utf8(F.col("html")))
+        """Recompute only the dead-letter slice: a JVM-side prefilter (strict
+        superset of the python ratio rule — invalid UTF-8 OR a literal '�' in
+        the decoded text, since the ratio rule counts U+FFFD in the DECODED
+        string) prunes ~99.8% of rows before any byte crosses to Python."""
+        candidates = events.filter(
+            (F.length("html") > 0)
+            & (
+                ~F.is_valid_utf8(F.col("html"))
+                | F.contains(F.decode(F.col("html"), "UTF-8"), F.lit("�"))
+            )
+        )
         q = candidates.withColumn("__q_err", check_quarantine_udf()(F.col("html"))).filter(
             F.col("__q_err").isNotNull()
         )
@@ -560,7 +573,10 @@ class CdcPipeline:
         re-fetch shape was measured 2x slower in the round-3 A/B AND its
         winner set — one row per distinct url in the corpus — is unbounded
         here, so there is no broadcast to exploit; see BENCH.md.)"""
-        is_ok_fast = (F.length("html") == F.lit(0)) | F.is_valid_utf8(F.col("html"))
+        is_ok_fast = (F.length("html") == F.lit(0)) | (
+            F.is_valid_utf8(F.col("html"))
+            & ~F.contains(F.decode(F.col("html"), "UTF-8"), F.lit("�"))
+        )
         masked = F.when(~is_ok_fast, F.col("html"))
         valid = events.withColumn("__q_err", check_quarantine_udf()(masked)).filter(
             F.col("__q_err").isNull()
