@@ -7,10 +7,14 @@ Layout::
     <table>/_log/_checkpoint.<v>.json        # compacted state at v (every K commits)
     <table>/_log/_last_checkpoint            # pointer to newest checkpoint
 
-Atomicity: a commit is staged to a temp file and published with ``os.link``
-(hard link), which fails with EEXIST if another writer won the version — the
-same optimistic put-if-absent protocol Delta Lake uses on HDFS/ABFS (on S3 one
-would use a DynamoDB/conditional-put coordinator; that swap is config-level).
+Atomicity: the commit winner is decided by a pluggable put-if-absent
+backend. The default (:class:`HardlinkCommitBackend`) stages a temp file and
+publishes with ``os.link``, which fails with EEXIST if another writer won the
+version — the optimistic protocol Delta Lake uses on HDFS/ABFS. For object
+stores whose PUT is last-writer-wins (S3), :class:`SqliteCommitBackend`
+implements the DynamoDB-style conditional-put coordinator (claim row carries
+the payload; files are healed from claims after a crash) — select it with
+``SPARK_GRAFT_COMMIT_BACKEND=sqlite`` or ``TableLog(root, backend=...)``.
 
 Checkpoints bound log replay to O(K) instead of O(n-commits) — at the 10^10
 design point the log would otherwise dominate planning time.
@@ -38,10 +42,143 @@ class CommitConflict(Exception):
 CHECKPOINT_INTERVAL = 25
 
 
+class HardlinkCommitBackend:
+    """Default put-if-absent: ``os.link`` fails with EEXIST if another writer
+    won the version — valid on local/HDFS/ABFS-style filesystems whose
+    create-if-absent is atomic."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+
+    def put_if_absent(self, version: int, payload: bytes, final_path: str) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".tmp-commit-", suffix=".json")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, final_path)  # atomic put-if-absent
+            except FileExistsError as e:
+                raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    def recover(self, version: int, final_path: str) -> bool:
+        return False  # nothing to recover: publish is the file itself
+
+    def max_version(self) -> int:
+        return 0
+
+    def forget_before(self, version: int) -> None:
+        pass
+
+
+class SqliteCommitBackend:
+    """Conditional-put COORDINATOR deciding the commit winner — the
+    config-level stand-in for DynamoDB/S3-conditional-put on object stores
+    whose plain PUT is last-writer-wins (the swap documented in the module
+    docstring, made real).
+
+    Protocol (Delta's S3DynamoDBLogStore shape): the claim row carries the
+    FULL payload and is inserted atomically (unique version key ⇒ exactly
+    one winner; losers get ``CommitConflict``); the JSON commit file is then
+    materialized as a plain overwrite — safe because the claim owns the
+    version. A crash between claim and materialize is healed by
+    :meth:`recover` (readers re-materialize from the coordinator) and by
+    ``latest_version`` consulting :meth:`max_version`, so a half-published
+    commit is never lost and never double-assigned."""
+
+    def __init__(self, log_dir: str, db_path: str | None = None):
+        self.log_dir = log_dir
+        self.db_path = db_path or os.path.join(log_dir, "_coordinator.sqlite")
+
+    def _con(self):
+        import sqlite3
+
+        con = sqlite3.connect(self.db_path, timeout=30.0)
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS commits"
+            " (version INTEGER PRIMARY KEY, payload BLOB NOT NULL)"
+        )
+        return con
+
+    def put_if_absent(self, version: int, payload: bytes, final_path: str) -> None:
+        import sqlite3
+
+        os.makedirs(self.log_dir, exist_ok=True)
+        con = self._con()
+        try:
+            try:
+                con.execute(
+                    "INSERT INTO commits (version, payload) VALUES (?, ?)",
+                    (version, payload),
+                )
+                con.commit()
+            except sqlite3.IntegrityError as e:
+                raise CommitConflict(f"version {version} already committed") from e
+        finally:
+            con.close()
+        self._materialize(payload, final_path)
+
+    @staticmethod
+    def _materialize(payload: bytes, final_path: str) -> None:
+        d = os.path.dirname(final_path)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tmp-commit-", suffix=".json")
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, final_path)  # we own the version: overwrite is safe
+
+    def recover(self, version: int, final_path: str) -> bool:
+        con = self._con()
+        try:
+            row = con.execute(
+                "SELECT payload FROM commits WHERE version = ?", (version,)
+            ).fetchone()
+        finally:
+            con.close()
+        if row is None:
+            return False
+        self._materialize(row[0], final_path)
+        return True
+
+    def max_version(self) -> int:
+        if not os.path.exists(self.db_path):
+            return 0
+        con = self._con()
+        try:
+            row = con.execute("SELECT MAX(version) FROM commits").fetchone()
+        finally:
+            con.close()
+        return int(row[0] or 0)
+
+    def forget_before(self, version: int) -> None:
+        if not os.path.exists(self.db_path):
+            return
+        con = self._con()
+        try:
+            con.execute("DELETE FROM commits WHERE version < ?", (version,))
+            con.commit()
+        finally:
+            con.close()
+
+
+def _default_backend(log_dir: str):
+    if os.environ.get("SPARK_GRAFT_COMMIT_BACKEND", "hardlink") == "sqlite":
+        return SqliteCommitBackend(log_dir)
+    return HardlinkCommitBackend(log_dir)
+
+
 class TableLog:
-    def __init__(self, table_root: str):
+    def __init__(self, table_root: str, backend=None):
         self.root = table_root
         self.log_dir = os.path.join(table_root, "_log")
+        self.backend = backend or _default_backend(self.log_dir)
 
     # ---------- paths ----------
 
@@ -66,7 +203,10 @@ class TableLog:
                     best = max(best, int(name[:-5]))
                 except ValueError:
                     continue
-        return best
+        # a coordinator-backed commit may be claimed but not yet
+        # materialized (crash between claim and file write) — it still
+        # owns its version
+        return max(best, self.backend.max_version())
 
     def last_checkpoint_version(self) -> int:
         ptr = os.path.join(self.log_dir, "_last_checkpoint")
@@ -103,8 +243,17 @@ class TableLog:
         return sorted(out)
 
     def read_commit(self, version: int) -> dict:
-        with open(self._commit_path(version)) as f:
-            return json.load(f)
+        path = self._commit_path(version)
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            # coordinator-backed commit whose file write crashed mid-publish:
+            # heal it from the claim row, then read normally
+            if self.backend.recover(version, path):
+                with open(path) as f:
+                    return json.load(f)
+            raise
 
     def read_checkpoint(self, version: int) -> dict | None:
         try:
@@ -124,22 +273,8 @@ class TableLog:
 
     def write_commit(self, version: int, payload: dict) -> None:
         os.makedirs(self.log_dir, exist_ok=True)
-        final = self._commit_path(version)
-        fd, tmp = tempfile.mkstemp(dir=self.log_dir, prefix=".tmp-commit-", suffix=".json")
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(payload, f, separators=(",", ":"))
-                f.flush()
-                os.fsync(f.fileno())
-            try:
-                os.link(tmp, final)  # atomic put-if-absent
-            except FileExistsError as e:
-                raise CommitConflict(f"version {version} already committed") from e
-        finally:
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+        data = json.dumps(payload, separators=(",", ":")).encode()
+        self.backend.put_if_absent(version, data, self._commit_path(version))
 
     def write_checkpoint(self, version: int, state: dict) -> None:
         path = self._checkpoint_path(version)
@@ -190,4 +325,5 @@ class TableLog:
                     nk += 1
                 except OSError:
                     pass
+        self.backend.forget_before(version)
         return nc, nk

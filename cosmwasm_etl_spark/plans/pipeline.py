@@ -42,6 +42,7 @@ from cosmwasm_etl_spark.functions.extraction import (
     with_extracted_text_versioned,
 )
 from cosmwasm_etl_spark.lakehouse import LakeTable
+from cosmwasm_etl_spark.lakehouse.schema import _parse_type as _parse_lake_type
 from cosmwasm_etl_spark.operators.dedup_window import latest_wins_agg, latest_wins_window
 from cosmwasm_etl_spark.operators.validation import full_outer_diff
 
@@ -329,15 +330,33 @@ class CdcPipeline:
             "deleted", F.col("op") == "delete"
         )
         # dynamic projection to the CURRENT table schema: evolved columns
-        # come from the event payload when present, NULL otherwise (the
-        # read-side half lives in lakehouse.schema.align_to)
-        cur_schema = self.table.state().schema.to_spark()
+        # come from the event payload when present; a RENAMED column whose
+        # payload still uses the old name follows the field-id lineage
+        # through the historical schema versions (event producers keep
+        # emitting the pre-rename name — dropping those values would lose
+        # data whenever a pre-rename event is applied post-rename, e.g.
+        # out-of-order streaming delivery); NULL only when no name of the
+        # field id ever appears (the read-side half lives in
+        # lakehouse.schema.align_to)
+        tbl_state = self.table.state()
+        cur = tbl_state.schema
         cols = []
-        for f in cur_schema.fields:
-            if f.name in ok.columns:
-                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        for f in cur.fields:
+            src = f.name if f.name in ok.columns else None
+            if src is None:
+                for sv in sorted(tbl_state.schemas, reverse=True):
+                    old = next(
+                        (g.name for g in tbl_state.schemas[sv].fields if g.id == f.id),
+                        None,
+                    )
+                    if old is not None and old in ok.columns:
+                        src = old
+                        break
+            spark_t = _parse_lake_type(f.type)
+            if src is not None:
+                cols.append(F.col(src).cast(spark_t).alias(f.name))
             else:
-                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                cols.append(F.lit(None).cast(spark_t).alias(f.name))
         batch = ok.select(*cols)
 
         def _merged_obs() -> dict:
@@ -596,6 +615,64 @@ class CdcPipeline:
             keys=["url"],
             compare_cols=["warc_ts", "text", "lang"],
         )
+
+    def audit_log_prefix(self, events: DataFrame) -> DataFrame | None:
+        """Audit against only the APPLIED slice of the log — the
+        steady-state T9 cadence check: the log directory may already hold
+        events the stream has not delivered yet, and those must not read as
+        divergence (`parser/dex/dex.go:381-518` runs its validation off a
+        cursor the same way).
+
+        The file source can deliver files out of seq order during catch-up,
+        so the applied set may have HOLES the per-batch [min_seq, max_seq]
+        lineage cannot see (a batch's own files may be non-adjacent ranges);
+        gap detection is therefore exact-by-counting: the audit only runs
+        when the number of applied events equals the log's event count over
+        [min applied seq, max applied seq] — one pushdown-friendly count.
+        Returns None when holes exist (the caller reports a skipped audit)."""
+        lin = [
+            s for s in self.lineage()
+            if not s.get("skipped") and s.get("min_seq") is not None
+        ]
+        if not lin:
+            return None
+        lo = min(int(s["min_seq"]) for s in lin)
+        hi = max(int(s["max_seq"]) for s in lin)
+        applied_n = sum(int(s["n_events"] or 0) for s in lin)
+        span = events.filter((F.col("seq") >= lo) & (F.col("seq") <= hi))
+        if span.count() != applied_n:
+            return None
+        return self.audit(span)
+
+    def maintenance(
+        self,
+        tombstone_horizon_sec: int | None = None,
+        vacuum_retain_versions: int | None = None,
+    ) -> dict:
+        """Self-maintenance pass for long-running streams: physically drop
+        tombstones older than (table max warc_ts − horizon) — the cutoff
+        comes from file-footer ts stats, zero data read — then vacuum
+        de-referenced parquet. Both steps are idempotent and bounded, so a
+        cadence can call this after any batch."""
+        import datetime as _dt
+
+        out: dict = {}
+        if tombstone_horizon_sec is not None:
+            st = self.table.state()
+            max_ts = max(
+                (e["max_ts"] for e in st.files.values() if e.get("max_ts") is not None),
+                default=None,
+            )
+            if max_ts is not None:
+                cutoff = _dt.datetime.fromtimestamp(
+                    max_ts / 1e6, _dt.timezone.utc
+                ) - _dt.timedelta(seconds=tombstone_horizon_sec)
+                out["tombstones"] = self.vacuum_tombstones(
+                    cutoff.strftime("%Y-%m-%d %H:%M:%S")
+                )
+        if vacuum_retain_versions is not None:
+            out["vacuum"] = self.table.vacuum(retain_versions=vacuum_retain_versions)
+        return out
 
     # ------------------------------------------------------------ dead letter
 

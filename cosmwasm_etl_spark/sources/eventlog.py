@@ -154,11 +154,33 @@ def read_event_log(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(EVENT_SCHEMA).parquet(path)
 
 
-def read_event_log_stream(spark: SparkSession, path: str, max_files_per_trigger: int | None = None) -> DataFrame:
+def read_event_log_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+    include_evolved_columns: bool = False,
+) -> DataFrame:
     """Structured Streaming tail of the event-log directory (S1 analog —
     `readStream` + AvailableNow replaces the gRPC poll loop
-    `collector/collector.go:48-95`)."""
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    `collector/collector.go:48-95`).
+
+    ``include_evolved_columns`` widens the pinned canonical schema with any
+    extra payload columns present in the log files at query start (the file
+    source fixes its schema per query) — required when schema evolutions are
+    in play, or the evolved columns would be silently dropped at scan. A
+    column that first appears in files written AFTER the query started is
+    picked up at the next (re)start from checkpoint — exactly the
+    restart-and-migrate contract of the reference's collector."""
+    schema = EVENT_SCHEMA
+    if include_evolved_columns:
+        canonical = {f.name for f in EVENT_SCHEMA.fields}
+        try:
+            actual = spark.read.option("mergeSchema", "true").parquet(path).schema
+            extras = [f for f in actual.fields if f.name not in canonical]
+        except Exception:  # empty/missing dir: canonical only
+            extras = []
+        schema = T.StructType(EVENT_SCHEMA.fields + extras)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)

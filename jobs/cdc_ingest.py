@@ -55,17 +55,27 @@ def main() -> int:
     ap.add_argument("--timeout-sec", type=int, default=24 * 3600)
     ap.add_argument("--schema-evolutions", default=None,
                     help="JSON file: [[at_epoch, change, spec], ...] applied at the "
-                         "same epoch boundary on every (re)play (replay mode only); "
+                         "same epoch boundary in EVERY mode (replay batches align on "
+                         "epochs; streaming splits a boundary-spanning micro-batch); "
                          "change in {add_column, rename_column, widen_type}")
+    ap.add_argument("--audit-every", type=int, default=None,
+                    help="streaming T9 cadence: every K applied batches recompute "
+                         "expected state over the applied log prefix and report "
+                         "divergent rows")
+    ap.add_argument("--maintain-every", type=int, default=None,
+                    help="streaming self-maintenance cadence: every K applied "
+                         "batches run tombstone retention + physical vacuum")
+    ap.add_argument("--tombstone-horizon-sec", type=int, default=48 * 3600,
+                    help="drop tombstones older than (max warc_ts - horizon) "
+                         "during maintenance")
+    ap.add_argument("--vacuum-retain-versions", type=int, default=8,
+                    help="table versions kept replayable by maintenance vacuum")
     args = ap.parse_args()
 
     evolutions = None
     if args.schema_evolutions:
         with open(args.schema_evolutions) as f:
             evolutions = [(int(e[0]), str(e[1]), dict(e[2])) for e in json.load(f)]
-        if args.mode != "replay":
-            raise SystemExit("--schema-evolutions requires --mode replay "
-                             "(streaming applies evolutions out-of-band)")
 
     from cosmwasm_etl_spark.lakehouse import LakeTable
     from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
@@ -104,6 +114,11 @@ def main() -> int:
             spark, pipe, args.events, ckpt,
             max_files_per_trigger=args.max_files_per_trigger,
             timeout_sec=args.timeout_sec,
+            schema_evolutions=evolutions,
+            audit_every=args.audit_every,
+            maintain_every=args.maintain_every,
+            tombstone_horizon_sec=args.tombstone_horizon_sec,
+            vacuum_retain_versions=args.vacuum_retain_versions,
         )
     else:
         try:
@@ -113,18 +128,27 @@ def main() -> int:
                 max_files_per_trigger=args.max_files_per_trigger,
                 stall_after=args.stall_after,
                 timeout_sec=args.timeout_sec,
+                schema_evolutions=evolutions,
+                audit_every=args.audit_every,
+                maintain_every=args.maintain_every,
+                tombstone_horizon_sec=args.tombstone_horizon_sec,
+                vacuum_retain_versions=args.vacuum_retain_versions,
             )
         except StallError as e:
             print(json.dumps({"stalled": str(e)}), file=sys.stderr)
             stats = e.stats  # work applied before the stall is committed
             stalled = True
 
-    applied = [s for s in stats if not s.get("skipped")]
+    applied = [s for s in stats if "batch_id" in s and not s.get("skipped")]
+    audits = [s for s in stats if s.get("audit")]
     print(json.dumps({
         "mode": args.mode,
-        "batches": len(stats),
+        "batches": sum(1 for s in stats if "batch_id" in s),
+        "audits": len(audits),
+        "audit_divergent_rows": sum(s.get("divergent_rows") or 0 for s in audits),
+        "maintenance_passes": sum(1 for s in stats if s.get("maintenance")),
         "applied": len(applied),
-        "skipped": len(stats) - len(applied),
+        "skipped": sum(1 for s in stats if "batch_id" in s) - len(applied),
         "n_events": sum(s.get("n_events") or 0 for s in applied),
         "n_quarantined": sum(s.get("n_quarantined") or 0 for s in applied),
         "watermark": table.watermark(),

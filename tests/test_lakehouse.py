@@ -360,3 +360,84 @@ def test_vacuum_bounds_disk_across_long_replay(spark, table):
     # file count after each vacuum is flat (bounded), not growing
     assert max(sizes) <= min(sizes) + 8
     assert len({r.url for r in table.read().collect()}) == 8
+
+
+@pytest.mark.parametrize("backend_name", ["hardlink", "sqlite"])
+def test_commit_backend_cas_race_both_backends(tmp_path, backend_name):
+    """The CAS race holds for BOTH put-if-absent backends: the default
+    hardlink protocol and the sqlite conditional-put coordinator (the S3/
+    DynamoDB-profile stand-in, r3 stretch #9): exactly one winner per
+    version, losers get CommitConflict, payload intact."""
+    import threading
+
+    from cosmwasm_etl_spark.lakehouse.log import (
+        CommitConflict,
+        HardlinkCommitBackend,
+        SqliteCommitBackend,
+        TableLog,
+    )
+
+    root = str(tmp_path / f"t-{backend_name}")
+    log_dir = f"{root}/_log"
+    import os as _os
+
+    _os.makedirs(log_dir, exist_ok=True)
+    backend = (
+        HardlinkCommitBackend(log_dir) if backend_name == "hardlink"
+        else SqliteCommitBackend(log_dir)
+    )
+    log = TableLog(root, backend=backend)
+    n = 8
+    barrier = threading.Barrier(n)
+    outcomes = [None] * n
+
+    def race(i):
+        barrier.wait()
+        try:
+            log.write_commit(1, {"operation": "merge", "summary": {"writer": i},
+                                 "schema": None, "add": [], "remove": []})
+            outcomes[i] = "won"
+        except CommitConflict:
+            outcomes[i] = "lost"
+
+    threads = [threading.Thread(target=race, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert outcomes.count("won") == 1 and outcomes.count("lost") == n - 1
+    assert log.read_commit(1)["summary"]["writer"] == outcomes.index("won")
+    assert log.latest_version() == 1
+
+
+def test_sqlite_backend_heals_half_published_commit(tmp_path):
+    """Crash between coordinator claim and file materialization: the claimed
+    version still owns its slot (latest_version sees it; a racing writer
+    loses) and the commit file is healed from the claim row on read."""
+    import os as _os
+
+    from cosmwasm_etl_spark.lakehouse.log import (
+        CommitConflict,
+        SqliteCommitBackend,
+        TableLog,
+    )
+
+    root = str(tmp_path / "t")
+    log_dir = f"{root}/_log"
+    _os.makedirs(log_dir, exist_ok=True)
+    log = TableLog(root, backend=SqliteCommitBackend(log_dir))
+    log.write_commit(1, {"operation": "create", "summary": {}, "schema": None,
+                         "add": [], "remove": []})
+    log.write_commit(2, {"operation": "merge", "summary": {"w": 9}, "schema": None,
+                         "add": [], "remove": []})
+    # simulate the crash: claim row exists, file does not
+    _os.unlink(log._commit_path(2))
+    assert log.latest_version() == 2  # coordinator still owns v2
+    with pytest.raises(CommitConflict):
+        log.write_commit(2, {"operation": "merge", "summary": {"w": 0},
+                             "schema": None, "add": [], "remove": []})
+    assert log.read_commit(2)["summary"]["w"] == 9  # healed from the claim
+    assert _os.path.exists(log._commit_path(2))  # file re-materialized
+    # vacuum's drop_before clears coordinator rows too
+    log.drop_before(2)
+    assert log.backend.max_version() == 2

@@ -132,3 +132,127 @@ def test_stateful_latest_wins_change_feed(spark, tmp_path):
         ).collect()
     }
     assert out == expect
+
+
+def test_stream_schema_evolution_mid_stream(spark, tmp_path):
+    """r3 missing #3: the streaming path honors the same evolution list as
+    replay — applied at epoch boundaries, splitting a spanning micro-batch —
+    and reaches the SAME final schema and state as a batch replay."""
+    from pyspark.sql import functions as F
+
+    from tests.test_schema_evolution_replay import EVOLUTIONS, events_with_payload_evolution
+
+    ev = events_with_payload_evolution(spark, n=12_000)
+    log_dir = str(tmp_path / "events")
+    write_event_log(ev, log_dir, range_partitions=12)
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"))
+    run_stream_available_now(
+        spark, pipe, log_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3, schema_evolutions=EVOLUTIONS,
+    )
+    cols = dict(table.read().dtypes)
+    assert cols.get("fetch_status") == "bigint"  # added then widened
+    assert "language" in cols and "lang" not in cols  # renamed
+    evolve_commits = [h for h in table.history() if h["operation"] == "evolve_schema"]
+    assert len(evolve_commits) == 3  # each step exactly once
+
+    # state equivalence vs an epoch-aligned batch replay of the same log
+    table2 = create_pages_table(spark, str(tmp_path / "pages2"), num_buckets=8)
+    pipe2 = CdcPipeline(spark, table2, str(tmp_path / "work2"))
+    pipe2.run_replay(ev, epochs_per_batch=2, schema_evolutions=EVOLUTIONS)
+    a = pipe.pages_evolved().select("url", "warc_ts", "text", "language", "fetch_status")
+    b = pipe2.pages_evolved().select("url", "warc_ts", "text", "language", "fetch_status")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # restart with the same checkpoint + evolutions: nothing re-applies
+    stats = run_stream_available_now(
+        spark, pipe, log_dir, str(tmp_path / "ckpt"), schema_evolutions=EVOLUTIONS
+    )
+    assert [s for s in stats if "batch_id" in s and not s.get("skipped")] == []
+
+
+def test_stream_periodic_audit_flags_corruption(spark, tmp_path):
+    """r3 missing #4 (T9 cadence): the audit hook runs every K applied
+    batches; after a table row is corrupted out-of-band, the next audit
+    reports non-zero divergence."""
+    from pyspark.sql import functions as F
+
+    ev = synthetic_events(spark, 8_000, n_urls=500, events_per_epoch=1_000)
+    log_dir = str(tmp_path / "events")
+    write_event_log(ev.filter(F.col("seq") < 4_000), log_dir, range_partitions=4)
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"))
+    stats = run_stream_available_now(
+        spark, pipe, log_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, audit_every=1,
+    )
+    audits = [s for s in stats if s.get("audit")]
+    # catch-up file order may leave seq holes early on — those audits are
+    # reported as skipped, never as fake divergence; once coverage is
+    # contiguous the audit must be clean
+    checked = [a for a in audits if not a.get("skipped_gaps")]
+    assert audits and checked
+    assert all(a["divergent_rows"] == 0 for a in checked)
+
+    # corrupt one row out-of-band (simulated bit-rot / manual edit): flip a
+    # page's text via a raw merge that bypasses extraction invariants
+    victim = table.read().limit(1).collect()[0]
+    # future warc_ts: tail events must NOT be able to repair the corruption
+    # (latest-wins would silently heal it before the audit looks)
+    bad = (
+        table.read().filter(F.col("url") == victim.url)
+        .withColumn("text", F.lit("CORRUPTED"))
+        .withColumn("warc_ts", F.lit("2030-01-01 00:00:00").cast("timestamp"))
+        .withColumn("op", F.lit("update"))
+    )
+    table.merge_upserts(bad, epoch=90_000)
+
+    more = ev.filter(F.col("seq") >= 4_000)
+    more.repartition(2).write.mode("append").parquet(log_dir)
+    stats2 = run_stream_available_now(
+        spark, pipe, log_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2, audit_every=1,
+    )
+    audits2 = [s for s in stats2 if s.get("audit") and not s.get("skipped_gaps")]
+    assert audits2
+    # the victim may be re-written by a newer event in the tail; divergence
+    # must be flagged in at least one post-corruption audit
+    assert any(a["divergent_rows"] >= 1 for a in audits2)
+
+
+def test_stream_maintenance_cadence_bounds_disk(spark, tmp_path):
+    """r3 'what's wrong' #3: a long-running stream is self-maintaining —
+    the maintenance cadence runs tombstone retention AND physical vacuum
+    from inside foreachBatch."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    ev = synthetic_events(spark, 10_000, n_urls=400, events_per_epoch=1_000, delete_pct=20)
+    log_dir = str(tmp_path / "events")
+    write_event_log(ev, log_dir, range_partitions=10)
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"), sink_mode="cow")
+    stats = run_stream_available_now(
+        spark, pipe, log_dir, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+        maintain_every=2, tombstone_horizon_sec=0, vacuum_retain_versions=2,
+    )
+    maint = [s for s in stats if s.get("maintenance")]
+    assert maint
+    assert any(m.get("vacuum", {}).get("deleted_files", 0) > 0 for m in maint)
+    # horizon=0: every tombstone older than max warc_ts is droppable;
+    # the final table must hold no deleted rows older than the horizon
+    # and time travel within the retained horizon still works
+    v = table.log.latest_version()
+    assert table.state(max(table.log.min_version(), v - 1)) is not None
+    # on-disk file count equals the live state's (vacuum keeps it bounded)
+    on_disk = {p for p in glob.glob(str(tmp_path / "pages" / "data" / "**" / "*.parquet"), recursive=True)}
+    live = set()
+    for vv in range(table.log.min_version(), v + 1):
+        live |= {str(tmp_path / "pages" / e) for e in table.state(vv).files}
+    assert on_disk == live
