@@ -254,6 +254,87 @@ def _host_controls(small: int, large: int) -> dict:
     return out
 
 
+GATE_CPU_EFF = float(os.environ.get("SPARK_GRAFT_GATE_CPU", "0.9"))
+GATE_BW_GB_S = float(os.environ.get("SPARK_GRAFT_GATE_BW", "2.5"))
+
+
+def _gate_check(small: int, large: int) -> tuple[bool, dict]:
+    """Host-window gate: is THIS minute's host capable of showing engine
+    scaling at all? Pass ⇔ the pure-CPU control scales >= GATE_CPU_EFF from
+    small→large pinning AND aggregate memory bandwidth at the large pinning
+    is >= GATE_BW_GB_S. This box's bandwidth swings 1.1–4.4 GB/s with
+    co-tenant load (three rounds of measurements, BENCH.md) — a scaling
+    number taken in a collapsed window measures the neighbors, not the
+    engine, so the pair run is only ACCEPTED inside a gated window."""
+    hc = _host_controls(small, large)
+    cpu_eff = hc["cpu_ops_per_sec"]["efficiency"]
+    bw_large = hc["mem_bw_gb_s"]["large"]
+    ok = cpu_eff >= GATE_CPU_EFF and bw_large >= GATE_BW_GB_S
+    return ok, hc
+
+
+def _run_scaling_gated(
+    small_cores: int,
+    large_cores: int,
+    n_events: int,
+    max_windows: int | None = None,
+    wait_s: int | None = None,
+    **kw,
+) -> dict:
+    """Window-gated scaling measurement (round-4 protocol): measure the host
+    controls FIRST; only if the window passes the gate run the pinned pair;
+    re-measure the controls AFTER to confirm the window held. Retry up to
+    ``max_windows`` windows, keeping EVERY attempt's controls in the output
+    — if no clean window occurs, the attempts log is itself the evidence.
+
+    Accept rules: a pair run bracketed by two passing gates is final
+    (whatever its efficiency — no fishing); a run whose post-gate failed is
+    tainted (window collapsed mid-run) and retried."""
+    if max_windows is None:
+        max_windows = int(os.environ.get("SPARK_GRAFT_GATE_MAX_WINDOWS", "5"))
+    if wait_s is None:
+        wait_s = int(os.environ.get("SPARK_GRAFT_GATE_WAIT_S", "90"))
+    attempts: list[dict] = []
+    last_res: dict | None = None
+    for i in range(max_windows):
+        ok, hc = _gate_check(small_cores, large_cores)
+        att = {"window": i, "ts": round(time.time(), 1), "gate_pass": ok, "controls": hc}
+        attempts.append(att)
+        if not ok:
+            if i < max_windows - 1:
+                time.sleep(wait_s)
+            continue
+        res = _run_scaling(
+            small_cores, large_cores, n_events, include_host=False, **kw
+        )
+        ok2, hc2 = _gate_check(small_cores, large_cores)
+        att["post_gate_pass"] = ok2
+        att["post_controls"] = hc2
+        att["efficiency"] = res["efficiency"]
+        res["gated"] = True
+        res["host_controls"] = hc
+        res["host_controls_post"] = hc2
+        last_res = res
+        if ok2:
+            res["window_gates"] = attempts
+            res["clean_window"] = True
+            return res
+        if i < max_windows - 1:
+            time.sleep(wait_s)
+    if last_res is not None:  # ran but every window collapsed mid-run
+        last_res["window_gates"] = attempts
+        last_res["clean_window"] = False
+        return last_res
+    return {
+        "gated": True,
+        "clean_window": False,
+        "no_clean_window": True,
+        "window_gates": attempts,
+        "cores_small": small_cores,
+        "cores_large": large_cores,
+    }
+
+
 def _run_scaling(
     small_cores: int,
     large_cores: int,
@@ -410,15 +491,22 @@ def main() -> None:
         pairs = [tuple(map(int, p.split(":"))) for p in pairs_env.split(",") if p]
         pair_results = []
         for i, (s, l) in enumerate(pairs):
-            pair_results.append(
-                _run_scaling(
-                    s, l, N_SCALING_EVENTS,
-                    repeats=None if i == 0 else 1,
-                    include_jvm=(i == 0),
-                    include_host=(i == 0),
+            if i == 0:
+                # primary pair: window-gated (controls-first accept/retry) —
+                # a number taken in a bandwidth-collapsed window measures
+                # the co-tenants, not the engine
+                pair_results.append(
+                    _run_scaling_gated(s, l, N_SCALING_EVENTS, repeats=None, include_jvm=True)
                 )
-            )
-        best = max(pair_results, key=lambda d: d["efficiency"])
+            else:
+                pair_results.append(
+                    _run_scaling(
+                        s, l, N_SCALING_EVENTS,
+                        repeats=1, include_jvm=False, include_host=False,
+                    )
+                )
+        ranked = [p for p in pair_results if "efficiency" in p]
+        best = max(ranked, key=lambda d: d["efficiency"]) if ranked else pair_results[0]
         out["scaling"] = {**best, "pairs": pair_results}
 
     out["metric"] = "cdc_apply_events_per_sec_plus_headline_queries"

@@ -14,8 +14,8 @@ frame-concatenated video container — implemented with numpy only:
 Baseline JPEG is ALSO real — a pure-numpy encoder/decoder in
 :mod:`cosmwasm_etl_spark.functions.jpeg` (huffman + DCT from the public
 T.81 spec), covering the most common crawl image format. Remaining
-compressed codecs (PNG/H.264/MP3, progressive or subsampled JPEG) require
-libraries absent from this container; those paths raise
+compressed codecs (PNG/H.264/MP3, progressive JPEG) require libraries
+absent from this container; those paths raise
 ``NotImplementedError`` EXPLICITLY (never a silent fake) — swap in
 PIL/ffmpeg in production. The Spark-side shape — schema, Arrow batch
 streaming, no introduced shuffle — is identical either way and is what the
@@ -221,9 +221,9 @@ def _feature_of(kind: str, payload: bytes) -> tuple[int | None, int | None, int 
             return w, h, None, n, [float(x) for x in f]
     except (ValueError, NotImplementedError, struct.error, KeyError, IndexError):
         # Malformed/truncated payloads AND declared codec gaps (progressive
-        # or subsampled JPEG raise NotImplementedError from the decoder) all
-        # take the documented digest-fingerprint fallback — one bad blob must
-        # never crash the whole mapInPandas job.
+        # JPEG raises NotImplementedError from the decoder) all take the
+        # documented digest-fingerprint fallback — one bad blob must never
+        # crash the whole mapInPandas job.
         pass
     d = hashlib.sha256(payload).digest()
     return None, None, None, None, [b / 255.0 for b in d[:8]]
@@ -278,7 +278,13 @@ def _synth_payload(media_id: int, kind: str) -> bytes:
         if (media_id // 3) % 2:
             from cosmwasm_etl_spark.functions.jpeg import encode_baseline_jpeg
 
-            return encode_baseline_jpeg(img, quality=90)
+            # cycle the real-world JPEG shapes: 4:4:4, 4:2:0, and 4:2:0
+            # with restart markers — all three decode paths stay exercised
+            # by the driver-verified multimodal_features oracle
+            variant = (media_id // 6) % 3
+            sub = "444" if variant == 0 else "420"
+            ri = 2 if variant == 2 else 0
+            return encode_baseline_jpeg(img, quality=90, subsampling=sub, restart_interval=ri)
         return encode_ppm(img)
     if kind == "audio":
         t = np.arange(400, dtype=np.float32)
@@ -331,7 +337,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     return base.mapInPandas(gen, MEDIA_SCHEMA)
 
 
-MEDIA_FIXTURE_PATH = "/tmp/spark_graft_fixtures/media_256_v2.parquet"
+MEDIA_FIXTURE_PATH = "/tmp/spark_graft_fixtures/media_256_v3.parquet"
 
 
 def _image_mime(payload: bytes) -> str:

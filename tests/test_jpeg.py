@@ -107,3 +107,65 @@ def test_feature_of_falls_back_on_undecodable_jpeg_variants():
         want = [b / 255.0 for b in hashlib.sha256(p).digest()[:8]]
         assert (w, h, ns, nf) == (None, None, None, None)
         assert feat == want
+
+
+def test_jpeg_420_round_trip_and_smaller_stream():
+    """4:2:0 — the dominant crawl JPEG shape (r3 missing #2): round-trips
+    within a PSNR bound on smooth content, stays within a loose bound on
+    adversarial high-frequency chroma, and compresses tighter than 4:4:4."""
+    y, x = np.mgrid[0:50, 0:41]
+    img = np.stack(
+        [np.clip(x * 6, 0, 255), np.clip(y * 5, 0, 255), np.clip((x + y) * 2, 0, 255)],
+        axis=-1,
+    ).astype(np.uint8)
+    e444 = encode_baseline_jpeg(img, 90)
+    e420 = encode_baseline_jpeg(img, 90, subsampling="420")
+    assert len(e420) < len(e444)
+    d = decode_baseline_jpeg(e420)
+    assert d.shape == img.shape
+    assert _psnr(img, d) > 38.0
+    # odd / non-MCU-aligned dims across both modes
+    for hh, ww in [(8, 8), (17, 9), (33, 31), (16, 24)]:
+        g = _gradient(hh, ww)
+        for sub in ("444", "420"):
+            dd = decode_baseline_jpeg(encode_baseline_jpeg(g, 90, subsampling=sub))
+            assert dd.shape == g.shape
+            assert _psnr(g, dd) > (34.0 if sub == "444" else 28.0), (hh, ww, sub)
+    # zero chroma energy -> subsampling is lossless relative to 4:4:4
+    gray = np.stack([img[..., 0]] * 3, axis=-1)
+    p444 = _psnr(gray, decode_baseline_jpeg(encode_baseline_jpeg(gray, 90)))
+    p420 = _psnr(gray, decode_baseline_jpeg(encode_baseline_jpeg(gray, 90, subsampling="420")))
+    assert abs(p444 - p420) < 0.5
+
+
+def test_jpeg_restart_markers_decode_identically():
+    """DRI/RSTn streams must decode to the SAME pixels as the marker-free
+    stream — the r3-advice bug made every MCU after the first restart
+    interval decode from zero padding."""
+    img = _gradient(33, 31)
+    base = decode_baseline_jpeg(encode_baseline_jpeg(img, 85))
+    for sub in ("444", "420"):
+        for ri in (1, 2, 5):
+            enc = encode_baseline_jpeg(img, 85, subsampling=sub, restart_interval=ri)
+            # the stream really contains RSTn bytes
+            assert any(
+                enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7
+                for i in range(2, len(enc) - 2)
+            )
+            dec = decode_baseline_jpeg(enc)
+            ref = decode_baseline_jpeg(encode_baseline_jpeg(img, 85, subsampling=sub))
+            assert np.array_equal(dec, ref), (sub, ri)
+    assert _psnr(img, base) > 30
+
+
+def test_jpeg_422_round_trip():
+    """4:2:2 (horizontal-only chroma downsample, 2x1 luma sampling) —
+    the generic sampling-factor MCU loop covers it in both directions."""
+    for hh, ww in [(16, 16), (17, 9), (33, 31)]:
+        img = _gradient(hh, ww)
+        enc = encode_baseline_jpeg(img, 90, subsampling="422")
+        i = enc.find(b"\xff\xc0")
+        assert enc[i + 11] == 0x21  # Y sampling (2,1) in SOF
+        dec = decode_baseline_jpeg(enc)
+        assert dec.shape == img.shape
+        assert _psnr(img, dec) > 30.0, (hh, ww)
