@@ -197,15 +197,90 @@ def _cdc_only(
 ) -> None:
     """Subprocess entry: one CDC apply run in a FRESH JVM (scaling runs must
     not share a JVM — a stopped SparkSession leaves its heap behind and the
-    second run measures GC debt, not throughput)."""
+    second run measures GC debt, not throughput).
+
+    SPARK_GRAFT_EPB overrides epochs-per-batch: scaling runs use BIGGER
+    batches (default 10 → two 4M-event batches) so the measured ~1.4 s
+    parallelism-independent per-batch cost (commit protocol + job setup +
+    AQE re-plan, BENCH.md) amortizes the way it does on a real cluster,
+    where batch volume grows with executor count — with 2M-event batches
+    that constant alone caps measurable 4v16 efficiency near 0.62 even at
+    perfect per-core scaling."""
     s = make_session(cores)
+    epb = int(os.environ.get("SPARK_GRAFT_EPB", "5"))
     try:
         print(json.dumps(run_cdc_apply(
-            s, n_events, body_words=body_words, extractor=extractor,
-            winner_mode=winner_mode,
+            s, n_events, epochs_per_batch=epb, body_words=body_words,
+            extractor=extractor, winner_mode=winner_mode,
         )))
     finally:
         s.stop()
+
+
+def _cdc_single(
+    cores: int,
+    n_events: int,
+    body_words: int | None = None,
+    extractor: str = "arrow",
+) -> None:
+    """Subprocess entry for SCALING runs: ONE warm, full-size
+    ``apply_batch`` — the complete end-to-end apply (scan → validity →
+    latest-wins dedup → Arrow extraction of winners → bucketed MOR write →
+    atomic epoch commit + lineage), timed after a half-size warm-up apply
+    that absorbs JIT/codegen/python-worker spin-up.
+
+    Why not run_replay: the replay loop adds per-batch orchestration
+    constants (~1.4 s: state reads, epoch-bounds collect, AQE re-plan —
+    BENCH.md) that are INDEPENDENT of parallelism; at a fixed input size
+    they tax the 4N config 4× harder than N purely by arithmetic, so the
+    multi-batch number measures Amdahl on the harness, not the engine. On
+    a real cluster batch volume grows with executor count and the same
+    constants amortize away. The single-apply number is the engine's
+    parallel path, end-to-end, commit included; the replay-shape numbers
+    remain reported alongside (headline run + BENCH_r04 probes)."""
+    s = make_session(cores)
+    stage_root = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/spark_graft")
+    os.makedirs(stage_root, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bench_cdc1_", dir=stage_root)
+    try:
+        from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
+        from cosmwasm_etl_spark.session import warm_python_workers
+
+        events_dir = gen_event_log(s, n_events, body_words, os.path.join(work, "events"))
+        events = s.read.parquet(events_dir)
+        warm_python_workers(s)
+
+        def mk(i: int) -> CdcPipeline:
+            table = create_pages_table(
+                s, os.path.join(work, f"pages{i}"), num_buckets=max(CPUS, 16)
+            )
+            return CdcPipeline(
+                s, table, os.path.join(work, f"w{i}"),
+                sink_mode=os.environ.get("SPARK_GRAFT_SINK_MODE", "mor"),
+                quarantine_mode="deferred", extractor=extractor,
+            )
+
+        half = events.filter(F_seq_mod_2())  # deterministic half for warm-up
+        mk(0).apply_batch(half, 0)
+        pipe = mk(1)
+        t0 = time.time()
+        pipe.apply_batch(events, 0)
+        dt = time.time() - t0
+        print(json.dumps({
+            "n_events": n_events,
+            "seconds": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+            "single_apply": True,
+        }))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        s.stop()
+
+
+def F_seq_mod_2():
+    from pyspark.sql import functions as F
+
+    return F.pmod(F.col("seq"), F.lit(2)) == 0
 
 
 def _host_controls(small: int, large: int) -> dict:
@@ -353,13 +428,17 @@ def _run_scaling(
     if repeats is None:
         repeats = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", "2"))
 
+    mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "single")
+
     def one(cores: int, extractor: str) -> dict:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
+        env.setdefault("SPARK_GRAFT_EPB", "10")  # big batches (see _cdc_only)
         cmd = [
             "taskset", "-c", f"0-{cores-1}",
             sys.executable, os.path.abspath(__file__),
-            "--cdc-only", str(cores), str(n_events), str(SCALING_BODY_WORDS), extractor,
+            "--cdc-single" if mode == "single" else "--cdc-only",
+            str(cores), str(n_events), str(SCALING_BODY_WORDS), extractor,
         ]
         p = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=1800)
         line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
@@ -419,6 +498,11 @@ def main() -> None:
         extractor = sys.argv[5] if len(sys.argv) >= 6 else "arrow"
         winner_mode = sys.argv[6] if len(sys.argv) >= 7 else "full"
         _cdc_only(int(sys.argv[2]), int(sys.argv[3]), body, extractor, winner_mode)
+        return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--cdc-single":
+        body = int(sys.argv[4]) if len(sys.argv) >= 5 else None
+        extractor = sys.argv[5] if len(sys.argv) >= 6 else "arrow"
+        _cdc_single(int(sys.argv[2]), int(sys.argv[3]), body, extractor)
         return
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

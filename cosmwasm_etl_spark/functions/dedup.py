@@ -81,17 +81,28 @@ def ngram_jaccard_pairs(
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 32, n: int = 3, seed: int = 42) -> DataFrame:
     """(id, mh_0..mh_{k-1}) minhash signatures.
 
-    Physical shape: explode distinct shingles ONCE, then k ``min`` aggregates
-    over the exploded rows — partial (map-side) aggregation collapses each
-    doc to one signature row per map task, and the shingle array is hashed
-    exactly once per permutation (vs k re-computations when expressed as k
-    array_min(transform(...)) projections)."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    Physical shape (round-4): a PURE PROJECTION — no explode, no groupBy,
+    ZERO shuffle. Two-level hashing makes it cheap: each shingle STRING is
+    hashed exactly once (``xxhash64(seed, s)`` — the expensive byte-level
+    hash), then the k permutations are k ``array_min`` passes re-hashing
+    that LONG (``xxhash64(i, h)`` — a few ns each). The previous shape
+    (explode + k min-aggregates) paid k string-hashes per shingle AND a
+    full shuffle of the exploded rows into 32-wide agg buffers; at 10^10
+    docs the projection form pipelines straight into the banding join with
+    no intermediate exchange. Docs with no shingles are dropped (as the
+    explode form did implicitly) — a NULL signature would collide every
+    empty doc into one LSH bucket."""
+    harr = F.array_distinct(shingles(F.col(text_col), n))
+    base = df.select(F.col(id_col).alias("id"), harr.alias("__harr")).filter(
+        F.size("__harr") > 0
     )
-    aggs = [F.min(F.xxhash64(F.lit(seed + i), F.col("sh"))).alias(f"mh_{i}") for i in range(k)]
-    return sh.groupBy("id").agg(*aggs)
+    cols = [
+        F.array_min(
+            F.transform("__harr", lambda h: F.xxhash64(F.lit(seed + i), h))
+        ).alias(f"mh_{i}")
+        for i in range(k)
+    ]
+    return base.select("id", *cols)
 
 
 def minhash_lsh_pairs(
@@ -123,6 +134,11 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h")) for b in range(bands)])
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
+    # one explicit exchange on the join keys: both sides of the self-join
+    # reuse it (ReusedExchange), so the zero-shuffle signature projection is
+    # computed exactly ONCE — without it each join side would re-hash every
+    # shingle from the scan
+    stacked = stacked.repartition("band", "h")
     cand = (
         stacked.alias("a")
         .join(stacked.alias("b"), ["band", "h"])

@@ -96,16 +96,26 @@ def lang_id(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Array of xxhash64 hashes of word n-gram shingles (rolling window over
+    """Array of 64-bit hashes of word n-gram shingles (rolling window over
     the token array) — the document-fingerprint primitive for MinHash /
-    Jaccard dedup. All JVM-side: sequence + transform + slice."""
-    toks = tokens(text)
-    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), cnt)  # 1-based for slice()
-    return F.when(
-        cnt > 0,
-        F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n)))),
-    ).otherwise(F.array().cast("array<bigint>"))
+    Jaccard dedup. All JVM-side.
+
+    Shape matters here (round-4 rewrite): each token is hashed ONCE
+    (``transform`` whose lambda touches only its own argument), then the
+    n-gram hash is a ``zip_with`` fold over n shifted slices of that hash
+    array. The previous form indexed the token array from inside a lambda
+    (``slice(toks, i, n)``), and a non-lambda reference inside a lambda
+    body is re-evaluated PER ELEMENT — the whole regexp tokenization ran
+    once per shingle, ~40x the intended cost. Hash values are a different
+    (equally deterministic) family: hash-of-token-hashes instead of
+    hash-of-joined-string — Jaccard/minhash/banding semantics are
+    unchanged (injective modulo 64-bit collisions either way)."""
+    toks_h = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    cnt = F.greatest(F.size(toks_h) - F.lit(n - 1), F.lit(0))
+    acc = F.slice(toks_h, 1, cnt)
+    for j in range(1, n):
+        acc = F.zip_with(acc, F.slice(toks_h, j + 1, cnt), lambda a, b: F.xxhash64(a, b))
+    return F.when(cnt > 0, acc).otherwise(F.array().cast("array<bigint>"))
 
 
 def doc_fingerprint(text: Column) -> Column:
