@@ -53,6 +53,9 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    jvm_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
+    if jvm_opts:  # e.g. GC selection for benchmark experiments
+        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
