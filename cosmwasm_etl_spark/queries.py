@@ -686,6 +686,61 @@ WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.12
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Dedup-cluster canonicalization (training-data op): connected
+    components over the exact n-gram-Jaccard pair graph via iterative
+    min-label propagation (diameter-bounded shuffle rounds, no driver-side
+    graph state) — every doc maps to its cluster's min doc_id; singletons
+    map to themselves. The DuckDB oracle recomputes components with a
+    recursive CTE, so the whole pipeline (tokenize → shingle → pair →
+    cluster) is value-verified end-to-end."""
+    from cosmwasm_etl_spark.operators.components import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.12)
+    return dedup_clusters(pairs, docs.select("doc_id"))
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0) t
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+2], ' ')
+                                       for i in generate_series(1, len(t) - 2)])) AS s
+  FROM toks WHERE len(t) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) sz FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.12
+), und AS (
+  SELECT id_a a, id_b b FROM pairs UNION SELECT id_b, id_a FROM pairs
+), reach(id, r) AS (
+  SELECT a, a FROM und
+  UNION
+  SELECT u.a, reach.r FROM und u JOIN reach ON u.b = reach.id
+), comp AS (
+  SELECT id, min(r) AS canonical_id FROM reach GROUP BY id
+), csz AS (
+  SELECT canonical_id, count(*) AS n FROM comp GROUP BY 1
+), clustered AS (
+  SELECT comp.id AS doc_id, comp.canonical_id, csz.n AS cluster_size
+  FROM comp JOIN csz USING (canonical_id)
+)
+SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size FROM clustered
+UNION ALL
+SELECT d.doc_id, d.doc_id, CAST(1 AS BIGINT)
+FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM clustered)
+"""
+
+
 def q_minhash_lsh_dups(spark, sf_dir):
     """MinHash+LSH near-dup pairs (scale path; verified by exact Jaccard).
     Non-SQL-expressible (hash-dependent) — rows-only driver check; recall
@@ -901,6 +956,7 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_dups": q_minhash_lsh_dups,
     "simhash_dups": q_simhash_dups,
     "cosine_topk": q_cosine_topk,
@@ -934,6 +990,7 @@ ORACLES = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cosine_topk": SQL_COSINE_TOPK,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     # multimodal_features is added lazily by build_oracles() — its SQL

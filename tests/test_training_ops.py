@@ -274,3 +274,46 @@ def test_embedding_near_dup_lsh_recall(spark, sf_dir):
     assert len(exact) >= 10  # planted pairs are present
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, f"lsh recall {recall:.3f}"
+
+
+def test_connected_components_transitive_chain(spark):
+    """Dedup clustering must be TRANSITIVE: a~b and b~c put a,c in one
+    cluster even when a~c alone is below threshold — the property pair
+    output can't express and clustering exists for. Also pins singleton
+    handling and min-id canonical choice."""
+    from pyspark.sql import Row
+
+    from cosmwasm_etl_spark.operators.components import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [Row(id_a=2, id_b=7), Row(id_a=7, id_b=9), Row(id_a=9, id_b=4),  # chain {2,4,7,9}
+         Row(id_a=11, id_b=12)],  # separate pair
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in connected_components(edges).collect()}
+    assert comp == {2: 2, 7: 2, 9: 2, 4: 2, 11: 11, 12: 11}
+
+    all_ids = spark.createDataFrame([Row(doc_id=i) for i in [2, 4, 7, 9, 11, 12, 99]],
+                                    "doc_id long")
+    out = {r.doc_id: (r.canonical_id, r.cluster_size) for r in
+           dedup_clusters(edges, all_ids).collect()}
+    assert out[99] == (99, 1)  # singleton
+    assert all(out[i] == (2, 4) for i in [2, 4, 7, 9])
+    assert out[11] == (11, 2) and out[12] == (11, 2)
+    # survivors = distinct canonical ids
+    assert sorted({c for c, _ in out.values()}) == [2, 11, 99]
+
+
+def test_connected_components_converges_on_long_path(spark):
+    """A 30-vertex path graph needs label propagation to actually iterate
+    (diameter ≫ 1) and must still converge to one component."""
+    from pyspark.sql import Row
+
+    from cosmwasm_etl_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    comp = connected_components(edges, max_iter=40).collect()
+    assert {r.component for r in comp} == {0}
+    assert len(comp) == 31
