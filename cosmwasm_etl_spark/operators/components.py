@@ -68,8 +68,14 @@ def connected_components(
         changed = new_labels.filter(F.col("__chg")).limit(1).count()
         labels = new_labels.drop("__chg")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # plain min-propagation needs diameter rounds; silently returning an
+    # UNCONVERGED labeling would split clusters undetectably — refuse and
+    # tell the caller to raise max_iter (or switch to star-doubling)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter exceeds max_iter)"
+    )
 
 
 def dedup_clusters(
