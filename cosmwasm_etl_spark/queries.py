@@ -743,14 +743,21 @@ FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM clustered)
 
 def q_minhash_lsh_dups(spark, sf_dir):
     """MinHash+LSH near-dup pairs (scale path; verified by exact Jaccard).
-    Non-SQL-expressible (hash-dependent) — rows-only driver check; recall
-    vs exact Jaccard asserted in tests/test_dedup.py."""
+
+    Hash-seeded, so not ANSI-SQL-expressible directly — the oracle is an
+    expected-output parquet precomputed by the INDEPENDENT pure-Python
+    XXH64 reference pipeline (functions/pyoracle.py), the same golden-
+    fixture pattern the Go reference uses for its hash-dependent mappers
+    (parser/dex/dezswap/mappers_test.go:16). Recall vs exact Jaccard is
+    additionally asserted in tests/test_training_ops.py."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, text_col="text", id_col="doc_id", n=3, k=32, bands=8, threshold=0.12)
 
 
 def q_simhash_dups(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 3 via 4×16-bit band pigeonhole)."""
+    """SimHash near-dup pairs (hamming ≤ 3 via 4×16-bit band pigeonhole).
+    Oracle: pure-Python SimHash reference (functions/pyoracle.py) via
+    expected-output parquet."""
     docs = _t(spark, sf_dir, "documents")
     return simhash_near_dups(docs, text_col="text", id_col="doc_id", max_hamming=3)
 
@@ -807,7 +814,8 @@ WHERE round(list_dot_product(a.e, b.e) /
 
 def q_lsh_ann(spark, sf_dir):
     """LSH-bucketed approximate NN (scale path; recall tested in pytest).
-    Hash-bucket-dependent — rows-only driver check."""
+    Hash-bucket-dependent — oracle is the pure-Python hyperplane-LSH
+    reference (functions/pyoracle.py) via expected-output parquet."""
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
     queries = corpus.filter(F.col("vec_id") < 20)
@@ -1000,15 +1008,43 @@ ORACLES = {
     "pair_stats_30m_incr": SQL_WINDOWED_STATS_30M,
     "account_stats_incr": SQL_NET_POSITION,
     "price_series_incr": SQL_PRICE_SERIES,
-    # minhash_lsh_dups / simhash_dups / lsh_ann: hash-seed-dependent —
-    # rows-only driver check; their correctness oracles live in tests/
-    # (recall vs the exact methods).
+    # minhash_lsh_dups / simhash_dups / lsh_ann are hash-seed-dependent:
+    # their oracles are expected-output parquet fixtures precomputed by the
+    # independent pure-Python XXH64 reference pipeline — added lazily by
+    # build_oracles() because the SQL embeds the fixture path.
 }
 
+# Every query has an oracle; the lazily-built ones are listed here so test
+# parametrization can know the full key set without paying fixture
+# materialization at collection time.
+LAZY_ORACLE_NAMES = ("multimodal_features", "minhash_lsh_dups", "simhash_dups", "lsh_ann")
+ORACLE_NAMES = tuple(sorted(set(ORACLES) | set(LAZY_ORACLE_NAMES)))
 
-def build_oracles() -> dict[str, str]:
+# Default sf dir for the driver's correctness comparison (the driver runs
+# queries() and oracle_sql() side-by-side at sf0.01; overridable for local
+# runs at another scale).
+_ORACLE_SF_DIR_DEFAULT = "/root/testdata/sf0.01"
+
+
+def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
     """The full oracle map, including entries whose SQL must be built lazily
-    (fixture-path-embedding ones)."""
+    (fixture-path-embedding ones). ``sf_dir`` is the scale the queries will
+    run at — it must match the driver's correctness sf (default sf0.01)
+    because the hash-seeded expected fixtures are input-dependent."""
+    import os as _os
+
+    from cosmwasm_etl_spark.functions.pyoracle import ensure_expected_fixture
+
+    sf = sf_dir or _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", _ORACLE_SF_DIR_DEFAULT)
     d = dict(ORACLES)
     d["multimodal_features"] = _sql_multimodal_features()
+    d["minhash_lsh_dups"] = (
+        f"SELECT id_a, id_b, jaccard FROM read_parquet('{ensure_expected_fixture('minhash_lsh_dups', sf)}')"
+    )
+    d["simhash_dups"] = (
+        f"SELECT id_a, id_b, hamming FROM read_parquet('{ensure_expected_fixture('simhash_dups', sf)}')"
+    )
+    d["lsh_ann"] = (
+        f"SELECT query_id, neighbor_id, cosine, rank FROM read_parquet('{ensure_expected_fixture('lsh_ann', sf)}')"
+    )
     return d
