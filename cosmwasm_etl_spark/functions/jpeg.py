@@ -353,7 +353,7 @@ class _BitReader:
         self.nbits -= n
         return v
 
-    def sync_restart(self) -> None:
+    def sync_restart(self, expected: int | None = None) -> None:
         """Consume an RSTn marker at a restart boundary, BYTE-level.
 
         ``_fill`` rewinds at any marker and shifts in zero padding, so a
@@ -362,12 +362,25 @@ class _BitReader:
         left before the marker is the previous interval's 1-padding or
         fill-injected zeros), then scan ``self.data`` from the current byte
         position for the FF Dn pair and step past it. Inside entropy data a
-        real 0xFF is always stuffed as FF 00, so the scan is unambiguous."""
+        real 0xFF is always stuffed as FF 00, so the scan is unambiguous.
+
+        ``expected`` is the modulo-8 restart counter (T.81 E.1.4: markers
+        cycle D0..D7). On a corrupted stream the first FF Dn found can
+        belong to a LATER interval — resynchronizing there would silently
+        decode shifted MCUs, so a found index that mismatches ``expected``
+        raises ValueError (which the multimodal layer maps to the
+        fingerprint fallback)."""
         self.acc = 0
         self.nbits = 0
         d, p = self.data, self.pos
         while p + 1 < len(d):
             if d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7:
+                found = d[p + 1] - 0xD0
+                if expected is not None and found != expected % 8:
+                    raise ValueError(
+                        f"restart marker out of sequence: found RST{found}, "
+                        f"expected RST{expected % 8}"
+                    )
                 self.pos = p + 2
                 return
             p += 1
@@ -520,10 +533,12 @@ def decode_baseline_jpeg(payload: bytes) -> np.ndarray:
         planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
 
     mcu = 0
+    rst_idx = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
-                br.sync_restart()
+                br.sync_restart(expected=rst_idx)
+                rst_idx = (rst_idx + 1) % 8
                 preds = [0] * len(comps)
             for ci, c in enumerate(comps):
                 for v in range(c["v"]):

@@ -76,6 +76,23 @@ PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 _DEFERRED_BATCH_ID = -1
 _RETRY_EPOCH_BASE = -1000
 
+# UTF-8 encoding of U+FFFD. The literal-replacement-char fast-path check is
+# done at the BYTE level (contains on the binary column): for valid UTF-8 it
+# is exactly equivalent to searching the decoded string, and it never
+# evaluates F.decode on a column that can hold invalid bytes — decode raises
+# MALFORMED_CHARACTER_CODING there, and guard&decode conjunctions are only
+# safe under an evaluation order Catalyst does not guarantee.
+_UFFFD_BYTES = b"\xef\xbf\xbd"
+
+
+def _is_ok_fast_expr():
+    """JVM fast-path validity: empty, or valid UTF-8 without a literal
+    U+FFFD. Rows failing this are the masked residue the python byte-level
+    arbiter (check_quarantine_udf) re-examines."""
+    return (F.length("html") == F.lit(0)) | (
+        F.is_valid_utf8(F.col("html")) & ~F.contains(F.col("html"), F.lit(_UFFFD_BYTES))
+    )
+
 
 def create_pages_table(spark: SparkSession, path: str, num_buckets: int = 16) -> LakeTable:
     return LakeTable.create(spark, path, PAGES_SCHEMA, key_col="url", ts_col="warc_ts", num_buckets=num_buckets)
@@ -237,17 +254,14 @@ class CdcPipeline:
         # invalid-UTF-8 payloads (~0.2% of events) AND on valid UTF-8 whose
         # text literally contains '�' — the fast path must exclude both or a
         # literal-U+FFFD page is silently dropped instead of quarantined
-        # (round-3 "What's wrong" #2). JVM `contains(decode(..))` catches the
-        # literal case at column speed. The UDF input is MASKED to NULL for
-        # fast rows, so only the residue's bytes ever cross the Arrow channel
-        # (the channel, not python CPU, is the scaling bottleneck), in ONE
-        # scan — no two-branch union, no double read. Semantics are identical
-        # to running check_quarantine_udf on every row (python rule stays the
-        # byte-level arbiter; tested).
-        is_ok_fast = (F.length("html") == F.lit(0)) | (
-            F.is_valid_utf8(F.col("html"))
-            & ~F.contains(F.decode(F.col("html"), "UTF-8"), F.lit("�"))
-        )
+        # (round-3 "What's wrong" #2). A byte-level JVM `contains` catches
+        # the literal case at column speed (see _UFFFD_BYTES). The UDF input
+        # is MASKED to NULL for fast rows, so only the residue's bytes ever
+        # cross the Arrow channel (the channel, not python CPU, is the
+        # scaling bottleneck), in ONE scan — no two-branch union, no double
+        # read. Semantics are identical to running check_quarantine_udf on
+        # every row (python rule stays the byte-level arbiter; tested).
+        is_ok_fast = _is_ok_fast_expr()
         masked = F.when(~is_ok_fast, F.col("html"))  # NULL for fast rows
 
         obs = Observation(f"cdc-batch-{batch_id}")
@@ -427,13 +441,7 @@ class CdcPipeline:
         superset of the python ratio rule — invalid UTF-8 OR a literal '�' in
         the decoded text, since the ratio rule counts U+FFFD in the DECODED
         string) prunes ~99.8% of rows before any byte crosses to Python."""
-        candidates = events.filter(
-            (F.length("html") > 0)
-            & (
-                ~F.is_valid_utf8(F.col("html"))
-                | F.contains(F.decode(F.col("html"), "UTF-8"), F.lit("�"))
-            )
-        )
+        candidates = events.filter((F.length("html") > 0) & ~_is_ok_fast_expr())
         q = candidates.withColumn("__q_err", check_quarantine_udf()(F.col("html"))).filter(
             F.col("__q_err").isNotNull()
         )
@@ -592,10 +600,7 @@ class CdcPipeline:
         re-fetch shape was measured 2x slower in the round-3 A/B AND its
         winner set — one row per distinct url in the corpus — is unbounded
         here, so there is no broadcast to exploit; see BENCH.md.)"""
-        is_ok_fast = (F.length("html") == F.lit(0)) | (
-            F.is_valid_utf8(F.col("html"))
-            & ~F.contains(F.decode(F.col("html"), "UTF-8"), F.lit("�"))
-        )
+        is_ok_fast = _is_ok_fast_expr()
         masked = F.when(~is_ok_fast, F.col("html"))
         valid = events.withColumn("__q_err", check_quarantine_udf()(masked)).filter(
             F.col("__q_err").isNull()
@@ -677,9 +682,14 @@ class CdcPipeline:
     # ------------------------------------------------------------ dead letter
 
     def read_quarantine(self) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             return self.spark.read.parquet(os.path.join(self.quarantine_dir, "batch=*"))
-        except Exception:
+        except AnalysisException as e:
+            cond = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise  # corrupt store must surface, not read as empty
             return self.spark.createDataFrame(
                 [], "seq long, epoch long, op string, url string, warc_ts timestamp, "
                 "html binary, lang string, err string, batch_id long"
@@ -688,25 +698,45 @@ class CdcPipeline:
     def retry_quarantine(self, batch_id: int, extractor=None) -> dict:
         """Re-attempt quarantined events (T8 retry,
         `parser/dex/dex.go:282-320`): rows whose extraction now succeeds are
-        merged (latest-wins condition in MERGE protects newer table rows);
-        still-failing rows stay quarantined. Pass a custom ``extractor``
-        (df→df with text/__extract_err) to model a fixed parser version."""
+        merged (latest-wins condition in MERGE protects newer table rows)
+        AND leave the quarantine store; still-failing rows stay, with their
+        error refreshed. Pass a custom ``extractor`` (df→df with
+        text/__extract_err) to model a fixed parser version.
+
+        Resolution lifecycle (r4 "What's wrong" #1): after the merge the
+        store is compacted to exactly the still-failing rows, so repeated
+        retry passes never re-extract resolved rows and the store cannot
+        grow without bound. The extractor runs exactly ONCE per pass — its
+        output is staged to parquet, and both the merge and the compaction
+        read the staging, not the extractor plan. Crash-safety: the merge
+        commit is the atomic point; a crash before compaction leaves
+        resolved rows in the store, and the NEXT retry pass converges —
+        its merge (a later retry epoch) re-applies idempotently under the
+        latest-wins guard and its compaction clears them.
+        (Reference analog: the atomic quarantine upsert+delete,
+        `parser/dex/repo/repository.go:302-330`.)"""
+        import glob as _glob
+        import shutil as _shutil
+
         q = self.read_quarantine()
         if q.isEmpty():
             return {"retried": 0, "resolved": 0}
         from pyspark.sql import Observation
 
         extractor = extractor or (lambda df: with_extracted_text(df))
-        # retried/resolved counts ride the merge's own staging job as
-        # Observation metrics — extraction executes exactly ONCE (re-counting
-        # afterwards would re-run the extractor over the quarantine slice)
+        # retried/resolved counts ride the staging write job as Observation
+        # metrics — extraction executes exactly ONCE per pass
         obs = Observation(f"retry-{batch_id}")
         ex = extractor(q).observe(
             obs,
             F.count(F.lit(1)).alias("retried"),
             F.count(F.when(F.col("__extract_err").isNull(), 1)).alias("resolved"),
         )
-        ok = ex.filter(F.col("__extract_err").isNull())
+        staging = os.path.join(self.work_dir, "quarantine_retry_staging")
+        ex.write.mode("overwrite").parquet(staging)
+        staged = self.spark.read.parquet(staging)
+
+        ok = staged.filter(F.col("__extract_err").isNull())
         winners = latest_wins_agg(ok, key="url", order_cols=["warc_ts", "seq"])
         batch = winners.select(
             "url", "warc_ts", "html", "text", "lang", "seq",
@@ -720,7 +750,29 @@ class CdcPipeline:
         res = self.table.merge_upserts(
             batch, epoch=retry_epoch, op_col=None, order_cols=["warc_ts", "seq"]
         )
-        if res.get("skipped"):
-            return {"retried": 0, "resolved": 0, "skipped": True, "merge": res}
+        # compaction runs on the skipped (already-committed) path too — that
+        # is exactly the crash-heal case where the previous pass committed
+        # its merge but died before clearing resolved rows
+        still = staged.filter(F.col("__extract_err").isNotNull()).select(
+            "seq", "epoch", "op", "url", "warc_ts", "html", "lang",
+            F.col("__extract_err").alias("err"), "batch_id",
+        )
+        keep_dir = os.path.join(self.quarantine_dir, f"batch=retry_{int(batch_id)}")
+        old_dirs = [
+            d for d in _glob.glob(os.path.join(self.quarantine_dir, "batch=*"))
+            if os.path.abspath(d) != os.path.abspath(keep_dir)
+        ]
+        # write-new-then-delete-old: re-runnable at any crash point
+        still.write.mode("overwrite").parquet(keep_dir)
+        for d in old_dirs:
+            _shutil.rmtree(d, ignore_errors=True)
+        _shutil.rmtree(staging, ignore_errors=True)
         got = obs.get
-        return {"retried": int(got["retried"] or 0), "resolved": int(got["resolved"] or 0), "merge": res}
+        out = {
+            "retried": int(got["retried"] or 0),
+            "resolved": int(got["resolved"] or 0),
+            "merge": res,
+        }
+        if res.get("skipped"):
+            out["skipped"] = True
+        return out

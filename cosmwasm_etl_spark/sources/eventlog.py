@@ -174,10 +174,20 @@ def read_event_log_stream(
     schema = EVENT_SCHEMA
     if include_evolved_columns:
         canonical = {f.name for f in EVENT_SCHEMA.fields}
+        from pyspark.errors import AnalysisException
+
         try:
             actual = spark.read.option("mergeSchema", "true").parquet(path).schema
             extras = [f for f in actual.fields if f.name not in canonical]
-        except Exception:  # empty/missing dir: canonical only
+        except AnalysisException as e:
+            # ONLY the missing/empty-dir analysis errors mean "canonical
+            # schema, no evolved columns yet". Any other failure (corrupt
+            # file, transient IO) must propagate — swallowing it would
+            # silently drop evolved columns and downstream apply would fill
+            # them with NULLs with no signal (r4 advice).
+            cond = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
+            if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+                raise
             extras = []
         schema = T.StructType(EVENT_SCHEMA.fields + extras)
     reader = spark.readStream.schema(schema)

@@ -27,12 +27,43 @@ from pyspark.sql import functions as F
 from cosmwasm_etl_spark.plans.pipeline import CdcPipeline
 from cosmwasm_etl_spark.sources.eventlog import read_event_log, read_event_log_stream
 
-# Sub-batch id stride when schema evolutions are configured: a micro-batch
-# spanning an evolution boundary is split into epoch-ordered slices, each
-# committed under id batch_id*stride+i — deterministic per checkpoint, so
-# a crash-redelivered batch skips already-committed slices and re-applies
-# the rest (same exactly-once contract as the unsliced path).
+# Streaming commit-id stride: every micro-batch commits its slices under
+# ids batch_id*stride+i — deterministic per checkpoint, so a crash-
+# redelivered batch skips already-committed slices and re-applies the rest
+# (same exactly-once contract as the unsliced path). The stride is applied
+# UNCONDITIONALLY, with or without schema evolutions configured: if the id
+# scheme depended on a start-time flag, restarting an existing checkpoint
+# with the flag toggled would remap epoch ids onto ones already committed
+# under the other mapping, and apply_batch's "epoch already committed"
+# idempotency check would silently drop (or fail to skip) a batch. The
+# scheme is additionally recorded in the checkpoint dir and verified on
+# every start (see _ensure_id_scheme).
 EVOLUTION_ID_STRIDE = 16
+
+
+def _ensure_id_scheme(checkpoint_dir: str) -> None:
+    """Record the commit-id scheme next to the streaming checkpoint and
+    refuse to start when it differs from what the checkpoint was created
+    with — a mismatched mapping is silent data loss, not a recoverable
+    condition."""
+    import json
+
+    marker = os.path.join(checkpoint_dir, "commit_id_scheme.json")
+    scheme = {"stride": EVOLUTION_ID_STRIDE}
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = json.load(f)
+        if found != scheme:
+            raise ValueError(
+                f"checkpoint {checkpoint_dir} was created with commit-id "
+                f"scheme {found}, current engine uses {scheme}; refusing to "
+                "start — epoch ids would collide with already-committed ones"
+            )
+        return
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(scheme, f)
+    os.replace(tmp, marker)
 
 
 def _make_handler(
@@ -95,7 +126,9 @@ def _make_handler(
                     sl = batch_df.filter((F.col("epoch") >= s) & (F.col("epoch") < t))
                     sub_stats.append(pipeline.apply_batch(sl, bid * EVOLUTION_ID_STRIDE + i))
         else:
-            sub_stats = [pipeline.apply_batch(batch_df, bid)]
+            # same strided namespace as the evolution path — see
+            # EVOLUTION_ID_STRIDE for why this must not depend on the flag
+            sub_stats = [pipeline.apply_batch(batch_df, bid * EVOLUTION_ID_STRIDE)]
         stats.extend(sub_stats)
         if not any(not s.get("skipped") for s in sub_stats):
             return
@@ -139,6 +172,7 @@ def run_stream_available_now(
     schema evolution and the audit/maintenance cadences (see
     :func:`_make_handler`)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
+    _ensure_id_scheme(checkpoint_dir)
     stats: list[dict] = []
     handle = _make_handler(
         spark, pipeline, stats, events_path,
@@ -201,6 +235,7 @@ def run_stream_processing_time(
     Supports mid-stream schema evolution and the audit/maintenance cadences
     (see :func:`_make_handler`)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
+    _ensure_id_scheme(checkpoint_dir)
     stats: list[dict] = []
     handle = _make_handler(
         spark, pipeline, stats, events_path,

@@ -169,3 +169,20 @@ def test_jpeg_422_round_trip():
         dec = decode_baseline_jpeg(enc)
         assert dec.shape == img.shape
         assert _psnr(img, dec) > 30.0, (hh, ww)
+
+
+def test_jpeg_out_of_sequence_restart_marker_raises():
+    """r4 advice: a corrupted stream whose first recoverable FF Dn belongs
+    to a different interval must raise (→ fingerprint fallback upstream),
+    not silently decode shifted MCUs."""
+    img = _gradient(64, 64)
+    enc = bytearray(encode_baseline_jpeg(img, 85, restart_interval=2))
+    # find the first RST0 marker in the entropy stream and bump its index
+    for i in range(len(enc) - 1):
+        if enc[i] == 0xFF and enc[i + 1] == 0xD0:
+            enc[i + 1] = 0xD3
+            break
+    else:
+        pytest.fail("no RST0 marker found in encoded stream")
+    with pytest.raises(ValueError, match="restart marker out of sequence"):
+        decode_baseline_jpeg(bytes(enc))

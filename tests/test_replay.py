@@ -127,9 +127,67 @@ def test_quarantine_capture_and_retry(spark, tmp_path, events_df):
     after = pipe.pages()
     # recovered urls present only if their warc_ts beats the table row (latest-wins safe)
     assert after.count() >= before
-    # idempotent: second retry with same batch_id is a no-op commit
-    res2 = pipe.retry_quarantine(batch_id=10_000, extractor=fixed_extractor)
-    assert res2["merge"]["skipped"]
+    # resolution lifecycle: fully-resolved store is now empty, so a second
+    # retry pass is a pure no-op (nothing re-extracted, nothing merged)
+    assert pipe.read_quarantine().count() == 0
+    res2 = pipe.retry_quarantine(batch_id=10_001, extractor=fixed_extractor)
+    assert res2 == {"retried": 0, "resolved": 0}
+
+
+def test_quarantine_resolution_lifecycle(spark, tmp_path, events_df):
+    """r4 verdict #3: resolved rows leave the store atomically with the
+    retry epoch; still-failing rows survive with refreshed errors. Two
+    retry passes extract a still-failing row twice but a resolved row
+    exactly once, and read_quarantine() shrinks."""
+    import os
+
+    pipe = make_pipeline(spark, tmp_path)
+    pipe.run_replay(events_df, epochs_per_batch=EPB)
+    q0 = pipe.read_quarantine()
+    n0 = q0.count()
+    assert n0 > 1
+    resolve_seqs = sorted(r.seq for r in q0.select("seq").collect())[: n0 // 2]
+    seen_log = str(tmp_path / "extract_calls.log")
+
+    def half_fixing_extractor(df):
+        # records every seq it touches (O_APPEND from local python workers),
+        # resolves only `resolve_seqs`
+        def _mark(seq):
+            with open(seen_log, "a") as f:
+                f.write(f"{seq}\n")
+            return "recovered" if seq in resolve_seqs else None
+
+        mark = F.udf(_mark, "string")
+        return df.withColumn("text", mark(F.col("seq"))).withColumn(
+            "__extract_err",
+            F.when(F.col("text").isNull(), F.lit("still_bad")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+
+    res1 = pipe.retry_quarantine(batch_id=20_000, extractor=half_fixing_extractor)
+    assert res1["retried"] == n0
+    assert res1["resolved"] == len(resolve_seqs)
+    q1 = pipe.read_quarantine()
+    q1_rows = q1.select("seq", "err").collect()  # materialize BEFORE pass 2 compacts
+    assert len(q1_rows) == n0 - len(resolve_seqs)  # store shrank
+    still_seqs = {r.seq for r in q1_rows}
+    assert still_seqs.isdisjoint(resolve_seqs)
+    assert all(r.err == "still_bad" for r in q1_rows)  # refreshed
+
+    res2 = pipe.retry_quarantine(batch_id=20_001, extractor=half_fixing_extractor)
+    assert res2["retried"] == n0 - len(resolve_seqs)
+    assert res2["resolved"] == 0
+
+    calls = [int(x) for x in open(seen_log).read().split()]
+    from collections import Counter
+
+    c = Counter(calls)
+    for s in resolve_seqs:
+        assert c[s] == 1, f"resolved seq {s} extracted {c[s]} times"
+    for s in still_seqs:
+        assert c[s] == 2, f"still-failing seq {s} extracted {c[s]} times"
+    assert os.path.isdir(str(tmp_path))  # tmp sanity
 
 
 def test_lineage_emitted_per_batch(spark, tmp_path, events_df):

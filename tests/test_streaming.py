@@ -256,3 +256,62 @@ def test_stream_maintenance_cadence_bounds_disk(spark, tmp_path):
     for vv in range(table.log.min_version(), v + 1):
         live |= {str(tmp_path / "pages" / e) for e in table.state(vv).files}
     assert on_disk == live
+
+
+def test_stream_flag_toggle_keeps_exactly_once(spark, tmp_path):
+    """Restarting an existing checkpoint with --schema-evolutions toggled
+    must NOT remap commit epoch ids (r4 advice): the strided id scheme is
+    uniform, so a stream started plain and resumed with an evolution list
+    (whose cuts lie in the not-yet-consumed range) still applies every event
+    exactly once and passes the replay audit."""
+    from pyspark.sql import functions as F
+
+    from tests.test_schema_evolution_replay import EVOLUTIONS, events_with_payload_evolution
+
+    ev = events_with_payload_evolution(spark, n=12_000)
+    first_epochs = 3  # all EVOLUTIONS cuts are at epoch >= 4
+    assert min(e for e, _, _ in EVOLUTIONS) > first_epochs
+    log_dir = str(tmp_path / "events")
+    write_event_log(ev.filter(F.col("epoch") <= first_epochs), log_dir, range_partitions=4)
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"))
+    ckpt = str(tmp_path / "ckpt")
+    run_stream_available_now(spark, pipe, log_dir, ckpt, max_files_per_trigger=2)
+    assert pipe.audit(spark.read.parquet(log_dir)).count() == 0
+
+    # toggle the flag ON for the rest of the log — same checkpoint
+    rest = ev.filter(F.col("epoch") > first_epochs)
+    rest.repartition(4).write.mode("append").parquet(log_dir)
+    stats = run_stream_available_now(
+        spark, pipe, log_dir, ckpt, max_files_per_trigger=2,
+        schema_evolutions=EVOLUTIONS,
+    )
+    assert [s for s in stats if "batch_id" in s and not s.get("skipped")]
+
+    # equivalence vs a one-shot replay with the same evolutions
+    table2 = create_pages_table(spark, str(tmp_path / "pages2"), num_buckets=8)
+    pipe2 = CdcPipeline(spark, table2, str(tmp_path / "work2"))
+    pipe2.run_replay(ev, epochs_per_batch=2, schema_evolutions=EVOLUTIONS)
+    a = pipe.pages_evolved().select("url", "warc_ts", "text", "language", "fetch_status")
+    b = pipe2.pages_evolved().select("url", "warc_ts", "text", "language", "fetch_status")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_stream_refuses_mismatched_id_scheme(spark, tmp_path):
+    """A checkpoint recorded under a different commit-id stride must refuse
+    to start instead of silently dropping/duplicating batches."""
+    import json
+
+    import pytest
+
+    ev = synthetic_events(spark, 1_000, n_urls=100, events_per_epoch=500)
+    log_dir = str(tmp_path / "events")
+    write_event_log(ev, log_dir, range_partitions=2)
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=4)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"))
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "commit_id_scheme.json").write_text(json.dumps({"stride": 1}))
+    with pytest.raises(ValueError, match="commit-id"):
+        run_stream_available_now(spark, pipe, log_dir, str(ckpt))
