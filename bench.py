@@ -61,6 +61,12 @@ HEADLINE = [
     "exact_dedup_docs",
     "minhash_lsh_dups",
     "cosine_topk",
+    # r4 verdict #6: the newer training ops ride the warm bench too, so
+    # plan regressions show up in BENCH_r{N}.json, not a verdict autopsy
+    "dedup_clusters",
+    "lang_id_docs",
+    "simhash_dups",
+    "embedding_near_dups",
 ]
 
 

@@ -385,10 +385,10 @@ def q_decimal_turnover(spark, sf_dir):
     (`db/migrations/parser/20220711191007_create_tables.up.sql:37-42`,
     LegacyDec in `pkg/util`). This query runs the aggregation entirely in
     DecimalType(38,18) — no float in the plan — and emits canonical decimal
-    strings. Documented gap: the reference's column type is numeric(40);
-    Spark DecimalType caps at precision 38, so amounts beyond 10^20 base
-    units (never reached by the reference's fixtures) would need a
-    two-column hi/lo representation."""
+    strings. The reference's column type is numeric(40), two digits past
+    Spark's DecimalType(38) cap; amounts beyond that are covered by the
+    hi/lo split aggregation in ``decimal_turnover_wide``
+    (functions/decimal40.py)."""
     li = _t(spark, sf_dir, "lineitem")
     dec = "decimal(38,18)"
     return (
@@ -414,6 +414,58 @@ SELECT l_returnflag, l_linestatus,
        CAST(CAST(sum(CAST(l_quantity * l_linenumber AS DECIMAL(38,18))) AS DECIMAL(38,18)) AS VARCHAR) AS sum_weighted_exact,
        count(*) AS n_rows
 FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_decimal_turnover_wide(spark, sf_dir):
+    """40-digit exact-decimal aggregation (r4 verdict #7 — the reference's
+    numeric(40) columns, two digits past DecimalType(38)): amounts are
+    synthesized as ~40-significant-digit canonical strings from lineitem
+    keys, then summed EXACTLY via the hi/lo DecimalType(38,0) split
+    (functions/decimal40.py). The oracle recombines DuckDB HUGEINT sums of
+    the same split — an independent wide-arithmetic implementation."""
+    from cosmwasm_etl_spark.functions.decimal40 import exact_wide_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    # deterministic ~21-digit integer part + carry-heavy 18-digit fraction
+    amount = F.concat(
+        (F.col("l_orderkey") * 1_000_000 + F.col("l_linenumber")).cast("string"),
+        F.lit("123456789012345"),
+        F.lit("."),
+        F.rpad(F.pmod(F.col("l_partkey"), 1_000_000).cast("string"), 18, "8"),
+    )
+    out = exact_wide_sum(
+        li.withColumn("__amt", amount),
+        ["l_returnflag", "l_linestatus"],
+        "__amt",
+        out_col="sum_exact",
+    )
+    return out.select("l_returnflag", "l_linestatus", "sum_exact", "n_rows", "n_bad")
+
+
+SQL_DECIMAL_TURNOVER_WIDE = """
+WITH amt AS (
+  SELECT l_returnflag, l_linestatus,
+         concat(CAST(l_orderkey * 1000000 + l_linenumber AS VARCHAR),
+                '123456789012345') AS ip,
+         rpad(CAST(l_partkey % 1000000 AS VARCHAR), 18, '8') AS fp
+  FROM lineitem
+), parts AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(ip AS HUGEINT) AS hi,
+         CAST(fp AS HUGEINT) AS lo
+  FROM amt
+), agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(hi) AS sh, sum(lo) AS sl, count(*) AS n
+  FROM parts GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       concat(CAST(sh + sl // 1000000000000000000 AS VARCHAR), '.',
+              lpad(CAST(sl % 1000000000000000000 AS VARCHAR), 18, '0')) AS sum_exact,
+       n AS n_rows,
+       CAST(0 AS BIGINT) AS n_bad
+FROM agg
 """
 
 
@@ -956,6 +1008,7 @@ QUERIES = {
     "recent_stats_48h": q_recent_stats_48h,
     "pricing_summary": q_pricing_summary,
     "decimal_turnover": q_decimal_turnover,
+    "decimal_turnover_wide": q_decimal_turnover_wide,
     "parts_revenue": q_parts_revenue,
     "semi_join_orders": q_semi_join_orders,
     "routes": q_routes,
@@ -990,6 +1043,7 @@ ORACLES = {
     "recent_stats_48h": SQL_RECENT_STATS_48H,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "decimal_turnover": SQL_DECIMAL_TURNOVER,
+    "decimal_turnover_wide": SQL_DECIMAL_TURNOVER_WIDE,
     "parts_revenue": SQL_PARTS_REVENUE,
     "semi_join_orders": SQL_SEMI_JOIN_ORDERS,
     "routes": SQL_ROUTES,

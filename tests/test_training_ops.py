@@ -305,8 +305,10 @@ def test_connected_components_transitive_chain(spark):
 
 
 def test_connected_components_converges_on_long_path(spark):
-    """A 30-vertex path graph needs label propagation to actually iterate
-    (diameter ≫ 1) and must still converge to one component."""
+    """A 30-hop path graph (diameter ≫ 1) must converge to one component in
+    O(log d) star rounds — the r4 verdict's adversarial-diameter case. Plain
+    min-propagation needs 30 shuffle rounds here; large-star/small-star
+    doubling must do it in ≤ 10."""
     from pyspark.sql import Row
 
     from cosmwasm_etl_spark.operators.components import connected_components
@@ -314,6 +316,42 @@ def test_connected_components_converges_on_long_path(spark):
     edges = spark.createDataFrame(
         [Row(id_a=i, id_b=i + 1) for i in range(30)], "id_a long, id_b long"
     )
-    comp = connected_components(edges, max_iter=40).collect()
+    stats: dict = {}
+    comp = connected_components(edges, max_iter=40, stats=stats).collect()
     assert {r.component for r in comp} == {0}
     assert len(comp) == 31
+    assert stats["rounds"] <= 10, f"star-doubling took {stats['rounds']} rounds"
+
+
+def test_jaccard_stop_shingle_frequency_cap(spark, docs):
+    """r4 verdict #5: a boilerplate shingle appearing in (here) every doc
+    must not create a quadratic join cell. With the cap, a corpus where
+    every doc shares one boilerplate phrase produces the SAME pairs as the
+    corpus with the phrase stripped; with the cap above the corpus df the
+    output is identical to the uncapped textbook Jaccard."""
+    from pyspark.sql import Row
+
+    # cap far above the fixture's df -> capped == uncapped, bit-for-bit
+    a = sorted(tuple(r) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect())
+    b = sorted(
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_shingle_df=None).collect()
+    )
+    assert a == b
+
+    # planted stop-shingle: 40 otherwise-unrelated docs all share one phrase
+    phrase = "click here to subscribe now please"
+    rows = [
+        Row(doc_id=i, text=f"{phrase} unique{i}a unique{i}b unique{i}c unique{i}d")
+        for i in range(40)
+    ]
+    planted = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(planted, threshold=0.1, max_shingle_df=10)
+    stripped = spark.createDataFrame(
+        [Row(doc_id=r.doc_id, text=r.text.replace(phrase + " ", "")) for r in rows],
+        "doc_id long, text string",
+    )
+    # the shared phrase's shingles have df=40 > 10 -> dropped; remaining
+    # shingles are unique per doc -> no pairs at all survive the cap
+    assert capped.count() == 0
+    assert ngram_jaccard_pairs(stripped, threshold=0.1).count() == 0
