@@ -70,7 +70,7 @@ HEADLINE = [
 ]
 
 
-def make_session(cores: int):
+def make_session(cores: int, aqe: bool | None = None):
     from cosmwasm_etl_spark.session import build_session
 
     # Small heap beats big heap on this class of host: measured 8g vs 24g
@@ -79,21 +79,35 @@ def make_session(cores: int):
     # arena across far more pages on a bandwidth-starved VM). The pipeline
     # streams — nothing long-lived needs a big heap.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+    if aqe is None:
+        aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     extra = {
         # 8 KB pages × 10k rows = 80 MB Arrow batches become G1 humongous
         # allocations; keep batches ≤ ~16 MB
         "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
     }
+    if not aqe:
+        # Micro-batch CDC runs with AQE off (SPARK_GRAFT_AQE=0): the apply
+        # plan's partitioning is explicit (bucket expr sized to the table),
+        # batch sizes are bounded by backpressure, so runtime re-planning
+        # has nothing to improve and costs a measured 0.2-0.3 s/batch of
+        # re-optimization — a parallelism-INDEPENDENT constant that taxes
+        # the large configuration 4x harder at fixed input size. Spark
+        # itself excludes AQE from streaming plans for the same reason
+        # (known, reused micro-batch shapes). Ad-hoc queries keep AQE on
+        # (coalesce + skew-join mitigation earn their keep there).
+        extra["spark.sql.adaptive.enabled"] = "false"
     shm = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/spark_graft")
     if os.path.isdir(os.path.dirname(shm) or "/"):
         os.makedirs(shm, exist_ok=True)
         # shuffle/spill on tmpfs: isolates engine throughput from sandbox
         # virtual-disk writeback jitter (real clusters use local NVMe)
         extra["spark.local.dir"] = os.path.join(shm, "local")
+    sp = os.environ.get("SPARK_GRAFT_SHUFFLE")
     return build_session(
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=max(cores, 8),
+        shuffle_partitions=int(sp) if sp else max(cores, 8),
         extra_conf=extra,
     )
 
@@ -177,6 +191,91 @@ def run_cdc_apply(
                 best["n_events"] / max(best["duration_ms"] / 1000.0, 1e-9), 1
             )
         return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def run_stream_state_ab(spark, n_events: int) -> dict:
+    """Same-window A/B of the two streaming surfaces (r4 verdict #8):
+
+    - ``foreachbatch``: the production path — readStream → foreachBatch →
+      full CDC apply (validity → latest-wins → extraction → MOR commit).
+    - ``statestore``: ``applyInPandasWithState`` latest-wins change feed
+      (streaming/stateful.py) — per-url state in the streaming state store,
+      emitting only changed winners; no extraction, no table write (its
+      consumers fetch payloads by seq downstream).
+
+    Both drain the SAME pre-generated log via Trigger.AvailableNow in a few
+    micro-batches (maxFilesPerTrigger), interleaved twice, best-of per
+    variant — the number README's "use when" guidance cites. Small bodies:
+    the comparison targets the state mechanism (state store vs MERGE), not
+    payload traffic, and the change feed never reads bodies anyway."""
+    from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
+    from cosmwasm_etl_spark.session import warm_python_workers
+    from cosmwasm_etl_spark.sources.eventlog import read_event_log_stream
+    from cosmwasm_etl_spark.streaming.runner import run_stream_available_now
+    from cosmwasm_etl_spark.streaming.stateful import latest_wins_change_feed
+
+    stage_root = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/spark_graft")
+    os.makedirs(stage_root, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bench_stream_", dir=stage_root)
+    try:
+        events_dir = gen_event_log(
+            spark, n_events, SCALING_BODY_WORDS, os.path.join(work, "events")
+        )
+        n_files = len([f for f in os.listdir(events_dir) if f.endswith(".parquet")])
+        per_trigger = max(n_files // 4, 1)  # ~4 micro-batches per drain
+        warm_python_workers(spark)
+
+        def run_fb(i: int) -> float:
+            table = create_pages_table(
+                spark, os.path.join(work, f"pagesA{i}"), num_buckets=max(CPUS, 16)
+            )
+            pipe = CdcPipeline(
+                spark, table, os.path.join(work, f"wA{i}"),
+                sink_mode="mor", quarantine_mode="deferred",
+            )
+            t0 = time.time()
+            run_stream_available_now(
+                spark, pipe, events_dir, os.path.join(work, f"ckA{i}"),
+                max_files_per_trigger=per_trigger,
+            )
+            return n_events / (time.time() - t0)
+
+        def run_ss(i: int) -> float:
+            stream = read_event_log_stream(spark, events_dir, per_trigger)
+            feed = latest_wins_change_feed(stream)
+            t0 = time.time()
+            q = (
+                feed.writeStream.format("noop")
+                .option("checkpointLocation", os.path.join(work, f"ckB{i}"))
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+            return n_events / (time.time() - t0)
+
+        runs: list[dict] = []
+        best = {"foreachbatch": 0.0, "statestore": 0.0}
+        for i in range(2):
+            for name, fn in (("foreachbatch", run_fb), ("statestore", run_ss)):
+                eps = round(fn(i), 1)
+                runs.append({"variant": name, "eps": eps})
+                best[name] = max(best[name], eps)
+        return {
+            "same_window": True,
+            "n_events": n_events,
+            "body_words": SCALING_BODY_WORDS,
+            "micro_batches": max(n_files // per_trigger, 1),
+            "foreachbatch_eps": best["foreachbatch"],
+            "statestore_eps": best["statestore"],
+            "statestore_over_foreachbatch": (
+                round(best["statestore"] / best["foreachbatch"], 3)
+                if best["foreachbatch"] else None
+            ),
+            "runs": runs,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -567,6 +666,9 @@ def main() -> None:
         }
         qt = run_queries(spark)
         out["queries"] = qt
+        if os.environ.get("SPARK_GRAFT_SKIP_STREAM_AB") != "1":
+            n_stream = int(os.environ.get("SPARK_GRAFT_STREAM_AB_EVENTS", "500000"))
+            out["stream_state_ab"] = run_stream_state_ab(spark, n_stream)
     finally:
         spark.stop()
 
