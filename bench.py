@@ -104,10 +104,21 @@ def make_session(cores: int, aqe: bool | None = None):
         # virtual-disk writeback jitter (real clusters use local NVMe)
         extra["spark.local.dir"] = os.path.join(shm, "local")
     sp = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    spc = os.environ.get("SPARK_GRAFT_SHUFFLE_PER_CORE")
+    if sp:
+        shuffle = int(sp)
+    elif spc:
+        # proportional provisioning: the same partitions-per-core at every
+        # parallelism level (scaling pairs must not under-provision the
+        # large config relative to the small one — default max(cores, 8)
+        # gives 4-core runs 2 waves but 16-core runs only 1)
+        shuffle = max(int(float(spc) * cores), 8)
+    else:
+        shuffle = max(cores, 8)
     return build_session(
         app_name=f"bench-{cores}",
         master=f"local[{cores}]",
-        shuffle_partitions=int(sp) if sp else max(cores, 8),
+        shuffle_partitions=shuffle,
         extra_conf=extra,
     )
 
@@ -351,7 +362,14 @@ def _cdc_single(
         from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
         from cosmwasm_etl_spark.session import warm_python_workers
 
-        events_dir = gen_event_log(s, n_events, body_words, os.path.join(work, "events"))
+        # SPARK_GRAFT_EVENTS_DIR: reuse a pre-generated log (the caller
+        # guarantees it matches n_events/body_words) so scaling probes spend
+        # their gated host window on the measured apply, not on generation
+        pre = os.environ.get("SPARK_GRAFT_EVENTS_DIR")
+        if pre and os.path.exists(os.path.join(pre, "_SUCCESS")):
+            events_dir = pre
+        else:
+            events_dir = gen_event_log(s, n_events, body_words, os.path.join(work, "events"))
         events = s.read.parquet(events_dir)
         warm_python_workers(s)
 
