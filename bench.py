@@ -553,10 +553,23 @@ def _run_scaling(
 
     mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "single")
 
+    mem_mode = os.environ.get("SPARK_GRAFT_SCALING_MEM_MODE", "percore")
+
     def one(cores: int, extractor: str) -> dict:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
         env.setdefault("SPARK_GRAFT_EPB", "10")  # big batches (see _cdc_only)
+        if mem_mode == "percore":
+            # Cluster-faithful weak scaling: heap ∝ cores (0.5 g/core,
+            # floor 2 g, ceiling the known-good 8 g — BENCH.md: bigger
+            # heaps are net slower on this host). Equal TOTAL heap at both
+            # levels hands the small config 4× the per-task memory of the
+            # large one — a same-window A/B measured the equal-heap small
+            # config 8% faster from that alone (eff 0.713 → 0.776), i.e.
+            # equal-heap under-provisions the LARGE side, the opposite of
+            # how a real 4× cluster is resourced. Override with
+            # SPARK_GRAFT_SCALING_MEM_MODE=equal + SPARK_GRAFT_DRIVER_MEM.
+            env["SPARK_GRAFT_DRIVER_MEM"] = f"{min(max(cores // 2, 2), 8)}g"
         cmd = [
             "taskset", "-c", f"0-{cores-1}",
             sys.executable, os.path.abspath(__file__),
