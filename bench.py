@@ -559,6 +559,12 @@ def _run_scaling(
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = str(cores)
         env.setdefault("SPARK_GRAFT_EPB", "10")  # big batches (see _cdc_only)
+        # AQE off for scaling runs (overridable): the apply's partitioning
+        # is explicit, so runtime re-planning buys nothing and its
+        # query-stage materialization barriers are pure fixed cost F —
+        # same-window gated A/B (probe 2): AQE-off 0.789 clean vs AQE-on
+        # 0.67. Ad-hoc queries keep AQE on.
+        env.setdefault("SPARK_GRAFT_AQE", "0")
         if mem_mode == "percore":
             # Cluster-faithful weak scaling: heap ∝ cores (0.5 g/core,
             # floor 2 g, ceiling the known-good 8 g — BENCH.md: bigger
