@@ -357,6 +357,99 @@ def lsh_bucketed_topk_py(
     return out
 
 
+def _unit_py(v: list[float]) -> list[float]:
+    acc = 0.0
+    for x in v:
+        acc = acc + x * x
+    n = math.sqrt(acc)
+    return [x / n for x in v] if n > 0 else list(v)
+
+
+def train_ivf_centroids_py(
+    vecs: list[tuple[int, list[float]]],
+    dim: int,
+    n_cells: int = 16,
+    sample_cap: int = 1024,
+    iters: int = 3,
+) -> list[list[float]]:
+    """Independent implementation of the IVF training SPEC
+    (similarity.train_ivf_centroids): strided sample by id, first-n init,
+    first-max-wins argmax of sequential dots, sequential-mean + normalize
+    per Lloyd iteration. Any IEEE-double implementation of the spec
+    produces identical bits, which is what the golden fixture relies on."""
+    stride = max(1, len(vecs) // sample_cap)
+    sample = sorted(
+        ((vid, v) for vid, v in vecs if vid % stride == 0), key=lambda t: t[0]
+    )
+    cents = [_unit_py(v) for _, v in sample[:n_cells]]
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(n_cells)]
+        counts = [0] * n_cells
+        for _, v in sample:
+            best, best_s = 0, None
+            for ci, c in enumerate(cents):
+                s = _dot_py(v, c)
+                if best_s is None or s > best_s:
+                    best, best_s = ci, s
+            counts[best] += 1
+            row = sums[best]
+            for d in range(dim):
+                row[d] += v[d]
+        cents = [
+            _unit_py([sums[ci][d] / counts[ci] for d in range(dim)]) if counts[ci] else cents[ci]
+            for ci in range(n_cells)
+        ]
+    return cents
+
+
+def ivf_topk_py(
+    vecs: list[tuple[int, list[float]]],
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    sample_cap: int = 1024,
+    query_max_id: int = 20,
+) -> list[tuple[int, int, float, int]]:
+    """(query_id, neighbor_id, cosine, rank) rows matching
+    ``similarity.ivf_topk`` with queries = vec_id < query_max_id."""
+    cents = train_ivf_centroids_py(vecs, dim, n_cells, sample_cap, iters)
+
+    def cell_scores(v: list[float]) -> list[float]:
+        return [_dot_py(v, c) for c in cents]
+
+    def argmax_cell(v: list[float]) -> int:
+        s = cell_scores(v)
+        best = 0
+        for ci in range(1, n_cells):
+            if s[ci] > s[best]:
+                best = ci
+        return best
+
+    by_cell: dict[int, list[tuple[int, list[float]]]] = {}
+    for vid, v in vecs:
+        by_cell.setdefault(argmax_cell(v), []).append((vid, v))
+
+    out: list[tuple[int, int, float, int]] = []
+    for qid, qv in vecs:
+        if qid >= query_max_id:
+            continue
+        s = cell_scores(qv)
+        probes = [i for i in sorted(range(n_cells), key=lambda i: (-s[i], i))[:n_probe]]
+        qn = _norm_py(qv)
+        scored: dict[int, float] = {}
+        for pc in probes:
+            for nid, nv in by_cell.get(pc, []):
+                if nid == qid or nid in scored:
+                    continue
+                scored[nid] = round_half_up(_dot_py(nv, qv) / (_norm_py(nv) * qn), 6)
+        ranked = sorted(scored.items(), key=lambda t: (-t[1], -t[0]))[:k]
+        for rank, (nid, cos) in enumerate(ranked, start=1):
+            out.append((qid, nid, cos, rank))
+    return out
+
+
 # ---------------------------------------------------------------------
 # fixture materialization (the DuckDB-readable expected parquet)
 # ---------------------------------------------------------------------
@@ -420,6 +513,19 @@ def ensure_expected_fixture(name: str, sf_dir: str) -> str:
                 "id_a": pa.array([r[0] for r in rows], pa.int64()),
                 "id_b": pa.array([r[1] for r in rows], pa.int64()),
                 "hamming": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        )
+    elif name == "ivf_ann":
+        rows = ivf_topk_py(
+            _read_embeddings(sf_dir), dim=64, k=5, n_cells=16, n_probe=4,
+            iters=3, sample_cap=1024, query_max_id=20,
+        )
+        tbl = pa.table(
+            {
+                "query_id": pa.array([r[0] for r in rows], pa.int64()),
+                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+                "cosine": pa.array([r[2] for r in rows], pa.float64()),
+                "rank": pa.array([r[3] for r in rows], pa.int32()),
             }
         )
     elif name == "lsh_ann":

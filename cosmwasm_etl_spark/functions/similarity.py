@@ -227,3 +227,167 @@ def lsh_bucketed_topk(
         .distinct()  # multiprobe can surface a pair via several buckets
     )
     return _topk_per_query(scored, k)
+
+
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN: train-small, search-big
+# ---------------------------------------------------------------------
+#
+# The production IVF shape at 100 TB: centroids are trained on a BOUNDED
+# deterministic sample on the driver (training is O(sample·cells·iters),
+# never distributed), broadcast as literals, and the expensive parts —
+# cell assignment and probed search — are single-pass column expressions
+# over the corpus. Assigning the corpus to cells once and bucketing the
+# table by cell_id turns every query into a pruned scan of n_probe cells
+# (~n_probe/n_cells of the data), the same data layout contract as the
+# event log's seq range-partitioning.
+#
+# Every arithmetic step below is SPECIFIED (sequential fold in index
+# order, first-max-wins argmax, unit centroids, 6-dp rounding only at the
+# final cosine) so the independent pure-Python oracle
+# (functions/pyoracle.py ivf_topk_py) reproduces it bit-for-bit — the
+# golden-fixture verification pattern of the reference's hash-dependent
+# mappers (parser/dex/dezswap/mappers_test.go:16).
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    sample_cap: int = 1024,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic spherical k-means on a strided sample (driver-side).
+
+    Sample = rows with ``id % stride == 0`` (stride sized so ≤ sample_cap
+    rows come back), ordered by id. Init = first n_cells sample vectors.
+    Each Lloyd iteration: assign by first-max-wins argmax of dot(v, c)
+    (centroids are unit vectors, so argmax dot == argmax cosine), recompute
+    each centroid as the normalized sequential mean of its members (empty
+    cell keeps its previous centroid). All sums fold in index order —
+    no pairwise/vectorized reductions — so any IEEE-double implementation
+    of this spec produces identical bits."""
+    n_total = corpus.count()
+    stride = max(1, n_total // sample_cap)
+    sample = [
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col)
+        .where(F.pmod(F.col(id_col), F.lit(stride)) == 0)
+        .orderBy(id_col)
+        .collect()
+    ]
+    if len(sample) < n_cells:
+        raise ValueError(f"sample ({len(sample)}) smaller than n_cells ({n_cells})")
+
+    def _unit(v: list[float]) -> list[float]:
+        s = 0.0
+        for x in v:
+            s += x * x
+        n = s ** 0.5
+        return [x / n for x in v] if n > 0 else list(v)
+
+    cents = [_unit(v) for _, v in sample[:n_cells]]
+    for _ in range(iters):
+        sums = [[0.0] * dim for _ in range(n_cells)]
+        counts = [0] * n_cells
+        for _, v in sample:
+            best, best_s = 0, None
+            for ci, c in enumerate(cents):
+                s = 0.0
+                for a, b in zip(v, c):
+                    s += a * b
+                if best_s is None or s > best_s:  # first-max-wins
+                    best, best_s = ci, s
+            counts[best] += 1
+            row = sums[best]
+            for d in range(dim):
+                row[d] += v[d]
+        cents = [
+            _unit([sums[ci][d] / counts[ci] for d in range(dim)]) if counts[ci] else cents[ci]
+            for ci in range(n_cells)
+        ]
+    return cents
+
+
+def _cell_scores(vec_col, centroids: list[list[float]]):
+    """array<double> of dot(v, c_i), one per centroid, as a Column."""
+    return F.array(
+        *[_dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
+    )
+
+
+def ivf_cell(vec_col, centroids: list[list[float]]):
+    """First-max-wins argmax cell id (0-based) as a pure Column expression
+    (``array_position`` returns the FIRST occurrence, matching the
+    training spec's argmax)."""
+    scores = _cell_scores(vec_col, centroids)
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def _probe_cells(vec_col, centroids: list[list[float]], n_probe: int):
+    """Top-``n_probe`` cell ids by (score DESC, cell_id ASC) as an
+    array<int> Column — a comparator array_sort over (score, idx) structs,
+    stable by construction of the explicit idx tiebreak."""
+    n_cells = len(centroids)
+    scores = _cell_scores(vec_col, centroids)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda i: F.struct(
+            F.element_at(scores, (i + 1).cast("int")).alias("s"), i.cast("int").alias("i")
+        ),
+    )
+    ordered = F.array_sort(
+        pairs,
+        lambda l, r: (
+            F.when(l["s"] > r["s"], F.lit(-1))
+            .when(l["s"] < r["s"], F.lit(1))
+            .when(l["i"] < r["i"], F.lit(-1))
+            .otherwise(F.lit(1))
+        ),
+    )
+    return F.transform(F.slice(ordered, 1, n_probe), lambda p: p["i"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query probes its ``n_probe`` best cells;
+    candidates = corpus rows assigned to those cells; exact cosine re-rank
+    inside. Output (query_id, neighbor_id, cosine, rank).
+
+    Plan shape: corpus is scanned once and tagged with its cell (a pure
+    projection — at scale, materialize it and bucket by cell instead);
+    queries are broadcast with their probe lists exploded, so the join is
+    a broadcast-hash on cell id and the corpus never shuffles."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_probe_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__cv"), F.col("__qv"))
+                / (_norm(F.col("__cv")) * _norm(F.col("__qv"))),
+                6,
+            ),
+        )
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    return _topk_per_query(scored, k)

@@ -874,6 +874,25 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_bucketed_topk(corpus, queries, dim=64, k=5, n_planes=6)
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF approximate NN: centroids trained driver-side on a strided
+    sample (deterministic spherical k-means, the train-small/search-big
+    production IVF shape), cell assignment + probed search as pure Column
+    plans. Training is specified to the IEEE operation order, so the
+    oracle is the INDEPENDENT pure-Python implementation of the same spec
+    (functions/pyoracle.py ivf_topk_py) via expected-output parquet —
+    the golden-fixture pattern (parser/dex/dezswap/mappers_test.go:16).
+    Recall vs exact brute force is additionally pinned in
+    tests/test_training_ops.py."""
+    from cosmwasm_etl_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    cents = train_ivf_centroids(corpus, dim=64, n_cells=16, sample_cap=1024, iters=3)
+    queries = corpus.filter(F.col("vec_id") < 20)
+    return ivf_topk(corpus, queries, cents, k=5, n_probe=4)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Real multimodal decode (PPM/WAV/RAWV, numpy-only) over a
     deterministic parquet media fixture shared with the DuckDB oracle.
@@ -1023,6 +1042,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "lsh_ann": q_lsh_ann,
+    "ivf_ann": q_ivf_ann,
     "multimodal_features": q_multimodal_features,
     "pair_stats_30m_incr": q_pair_stats_30m_incr,
     "account_stats_incr": q_account_stats_incr,
@@ -1071,7 +1091,7 @@ ORACLES = {
 # Every query has an oracle; the lazily-built ones are listed here so test
 # parametrization can know the full key set without paying fixture
 # materialization at collection time.
-LAZY_ORACLE_NAMES = ("multimodal_features", "minhash_lsh_dups", "simhash_dups", "lsh_ann")
+LAZY_ORACLE_NAMES = ("multimodal_features", "minhash_lsh_dups", "simhash_dups", "lsh_ann", "ivf_ann")
 ORACLE_NAMES = tuple(sorted(set(ORACLES) | set(LAZY_ORACLE_NAMES)))
 
 # Default sf dir for the driver's correctness comparison (the driver runs
@@ -1100,5 +1120,8 @@ def build_oracles(sf_dir: str | None = None) -> dict[str, str]:
     )
     d["lsh_ann"] = (
         f"SELECT query_id, neighbor_id, cosine, rank FROM read_parquet('{ensure_expected_fixture('lsh_ann', sf)}')"
+    )
+    d["ivf_ann"] = (
+        f"SELECT query_id, neighbor_id, cosine, rank FROM read_parquet('{ensure_expected_fixture('ivf_ann', sf)}')"
     )
     return d

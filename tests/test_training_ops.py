@@ -355,3 +355,43 @@ def test_jaccard_stop_shingle_frequency_cap(spark, docs):
     # shingles are unique per doc -> no pairs at all survive the cap
     assert capped.count() == 0
     assert ngram_jaccard_pairs(stripped, threshold=0.1).count() == 0
+
+
+def test_ivf_ann_planted_neighbors_and_spec_parity(spark, sf_dir):
+    """IVF: (a) planted near-dup neighbors are found (they share the
+    query's best cell by construction of argmax-cosine assignment);
+    (b) the Spark plan reproduces the pure-Python spec implementation
+    bit-for-bit — the property the driver's golden-fixture oracle relies
+    on (training is specified to the IEEE operation order)."""
+    from cosmwasm_etl_spark.functions.pyoracle import ivf_topk_py
+    from cosmwasm_etl_spark.functions.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x)
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    cents = train_ivf_centroids(corpus, dim=64, n_cells=16, sample_cap=1024, iters=3)
+    queries = emb.filter(F.col("vec_id") < 30)
+    approx = ivf_topk(corpus, queries, cents, k=3, n_probe=4)
+    top1 = {r.query_id: r.neighbor_id for r in approx.collect() if r.rank == 1}
+    hits = sum(1 for q, n in top1.items() if n == q + 10_000)
+    assert hits >= 27, f"planted near-dup found for only {hits}/30 queries"
+
+    # spec parity on the unmodified table (what the driver compares)
+    base = emb
+    cents2 = train_ivf_centroids(base, dim=64, n_cells=16, sample_cap=1024, iters=3)
+    spark_rows = sorted(
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(base, base.filter(F.col("vec_id") < 20), cents2, k=5, n_probe=4).collect()
+    )
+    vecs = [
+        (r.vec_id, [float(x) for x in r.embedding]) for r in base.collect()
+    ]
+    py_rows = sorted(ivf_topk_py(vecs, dim=64, k=5, n_cells=16, n_probe=4, query_max_id=20))
+    assert spark_rows == py_rows
