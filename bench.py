@@ -67,6 +67,7 @@ HEADLINE = [
     "lang_id_docs",
     "simhash_dups",
     "embedding_near_dups",
+    "ivf_ann",
 ]
 
 

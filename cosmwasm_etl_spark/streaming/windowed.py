@@ -122,3 +122,34 @@ def dedup_within_watermark(
     differently-bounded batch."""
     keys = keys or ["seq"]
     return events.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def session_update_stats(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-url *session* windows (gap-based): a burst of change events to
+    the same url with < ``gap`` between consecutive events is one session
+    — the streaming shape for "re-crawl storm" detection over a CDC tail
+    (hot-domain skew shows up as long, dense sessions). Engine-managed
+    session merging via ``F.session_window``; append mode emits a session
+    only once the watermark passes its close, so a session row is final
+    when published."""
+    return (
+        events.withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("w"), "url")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("seq").alias("first_seq"),
+            F.max("seq").alias("last_seq"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "url",
+            "n_events",
+            "first_seq",
+            "last_seq",
+        )
+    )

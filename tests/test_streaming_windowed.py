@@ -150,3 +150,45 @@ def test_dedup_within_watermark_suppresses_redelivery(spark, wm_dirs):
     q.awaitTermination(600)
     rows = spark.read.parquet(wm_dirs["out"]).select("seq").collect()
     assert sorted(r["seq"] for r in rows) == [0, 1, 2]
+
+
+def test_session_windows_split_on_gap(spark, wm_dirs):
+    """Gap-based sessions: a dense burst is ONE session (end = last event
+    + gap); a quiet period > gap starts a new one; sealed sessions are
+    emitted exactly once in append mode."""
+    from cosmwasm_etl_spark.streaming.windowed import session_update_stats
+
+    u = "https://h.example.com/p/0"
+
+    def row_u(seq, minutes):
+        return (seq, 0, "update", u, BASE + timedelta(minutes=minutes), b"", "en")
+
+    files = [
+        # burst: 00:00, 00:02, 00:04 (one session), then 00:30 (second)
+        [row_u(0, 0), row_u(1, 2), row_u(2, 4), row_u(3, 30)],
+        # far-future closer (different url) to push the watermark
+        [(9, 0, "update", "https://other/x", BASE + timedelta(minutes=300), b"", "en")],
+    ]
+    _write_files(spark, wm_dirs["src"], wm_dirs["stage"], files)
+    stream = read_event_log_stream(spark, wm_dirs["src"], max_files_per_trigger=1)
+    q = (
+        session_update_stats(stream, gap="5 minutes", watermark="10 minutes")
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", wm_dirs["out"])
+        .option("checkpointLocation", wm_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    got = {
+        (r["session_start"].minute, r["session_end"].minute, r["url"]): (
+            r["n_events"], r["first_seq"], r["last_seq"],
+        )
+        for r in spark.read.parquet(wm_dirs["out"]).collect()
+    }
+    assert got == {
+        (0, 9, u): (3, 0, 2),    # burst merged: [00:00, 00:04+gap)
+        (30, 35, u): (1, 3, 3),  # second session after the quiet gap
+        # the closer's own session stays open in state: not emitted
+    }
