@@ -518,7 +518,7 @@ def ensure_expected_fixture(name: str, sf_dir: str) -> str:
     elif name == "ivf_ann":
         rows = ivf_topk_py(
             _read_embeddings(sf_dir), dim=64, k=5, n_cells=16, n_probe=4,
-            iters=3, sample_cap=1024, query_max_id=20,
+            iters=2, sample_cap=256, query_max_id=20,
         )
         tbl = pa.table(
             {

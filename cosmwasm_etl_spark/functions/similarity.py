@@ -312,30 +312,38 @@ def train_ivf_centroids(
 
 
 def _cell_scores(vec_col, centroids: list[list[float]]):
-    """array<double> of dot(v, c_i), one per centroid, as a Column."""
-    return F.array(
-        *[_dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
-    )
+    """array<double> of dot(v, c_i), one per centroid, as a Column.
+
+    The centroid matrix is ONE nested array literal (constant-folded by
+    Catalyst) and the dot product ONE transform lambda over it — not
+    n_cells copies of the fold expression: with 16x64 literals inlined per
+    copy, planning/codegen of the duplicated tree costs seconds per query
+    regardless of data size. ``vec_col`` must be a plain attribute
+    reference (cheap to re-read inside the lambda)."""
+    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    return F.transform(cents, lambda c: _dot(vec_col, c))
 
 
-def ivf_cell(vec_col, centroids: list[list[float]]):
-    """First-max-wins argmax cell id (0-based) as a pure Column expression
-    (``array_position`` returns the FIRST occurrence, matching the
-    training spec's argmax)."""
-    scores = _cell_scores(vec_col, centroids)
-    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+def ivf_cell(scores_col):
+    """First-max-wins argmax cell id (0-based) from a MATERIALIZED scores
+    column (``array_position`` returns the FIRST occurrence, matching the
+    training spec's argmax). Takes a column reference, not the scores
+    expression: a non-lambda expression referenced from inside a
+    higher-order-function lambda is RE-EVALUATED per element by Catalyst
+    (the round-4 minhash 40x lesson, BENCH.md) — project the scores array
+    once, then everything downstream reads the attribute."""
+    return (F.array_position(scores_col, F.array_max(scores_col)) - 1).cast("int")
 
 
-def _probe_cells(vec_col, centroids: list[list[float]], n_probe: int):
+def _probe_cells(scores_col, n_cells: int, n_probe: int):
     """Top-``n_probe`` cell ids by (score DESC, cell_id ASC) as an
     array<int> Column — a comparator array_sort over (score, idx) structs,
-    stable by construction of the explicit idx tiebreak."""
-    n_cells = len(centroids)
-    scores = _cell_scores(vec_col, centroids)
+    stable by construction of the explicit idx tiebreak. ``scores_col``
+    must be a materialized column reference (see :func:`ivf_cell`)."""
     pairs = F.transform(
         F.sequence(F.lit(0), F.lit(n_cells - 1)),
         lambda i: F.struct(
-            F.element_at(scores, (i + 1).cast("int")).alias("s"), i.cast("int").alias("i")
+            F.element_at(scores_col, (i + 1).cast("int")).alias("s"), i.cast("int").alias("i")
         ),
     )
     ordered = F.array_sort(
@@ -367,15 +375,27 @@ def ivf_topk(
     projection — at scale, materialize it and bucket by cell instead);
     queries are broadcast with their probe lists exploded, so the join is
     a broadcast-hash on cell id and the corpus never shuffles."""
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        ivf_cell(F.col(vec_col), centroids).alias("cell"),
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            _cell_scores(F.col(vec_col), centroids).alias("__s"),
+        )
+        .select("neighbor_id", "__cv", ivf_cell(F.col("__s")).alias("cell"))
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(_probe_cells(F.col(vec_col), centroids, n_probe)).alias("cell"),
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _cell_scores(F.col(vec_col), centroids).alias("__s"),
+        )
+        .select(
+            "query_id",
+            "__qv",
+            F.explode(
+                _probe_cells(F.col("__s"), len(centroids), n_probe)
+            ).alias("cell"),
+        )
     )
     scored = (
         c.join(F.broadcast(q), "cell")

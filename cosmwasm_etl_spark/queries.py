@@ -888,7 +888,7 @@ def q_ivf_ann(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
-    cents = train_ivf_centroids(corpus, dim=64, n_cells=16, sample_cap=1024, iters=3)
+    cents = train_ivf_centroids(corpus, dim=64, n_cells=16, sample_cap=256, iters=2)
     queries = corpus.filter(F.col("vec_id") < 20)
     return ivf_topk(corpus, queries, cents, k=5, n_probe=4)
 

@@ -376,7 +376,7 @@ def test_ivf_ann_planted_neighbors_and_spec_parity(spark, sf_dir):
         ).alias("embedding"),
     )
     corpus = emb.unionByName(planted)
-    cents = train_ivf_centroids(corpus, dim=64, n_cells=16, sample_cap=1024, iters=3)
+    cents = train_ivf_centroids(corpus, dim=64, n_cells=16, sample_cap=256, iters=2)
     queries = emb.filter(F.col("vec_id") < 30)
     approx = ivf_topk(corpus, queries, cents, k=3, n_probe=4)
     top1 = {r.query_id: r.neighbor_id for r in approx.collect() if r.rank == 1}
@@ -385,7 +385,7 @@ def test_ivf_ann_planted_neighbors_and_spec_parity(spark, sf_dir):
 
     # spec parity on the unmodified table (what the driver compares)
     base = emb
-    cents2 = train_ivf_centroids(base, dim=64, n_cells=16, sample_cap=1024, iters=3)
+    cents2 = train_ivf_centroids(base, dim=64, n_cells=16, sample_cap=256, iters=2)
     spark_rows = sorted(
         (r.query_id, r.neighbor_id, r.cosine, r.rank)
         for r in ivf_topk(base, base.filter(F.col("vec_id") < 20), cents2, k=5, n_probe=4).collect()
@@ -393,5 +393,5 @@ def test_ivf_ann_planted_neighbors_and_spec_parity(spark, sf_dir):
     vecs = [
         (r.vec_id, [float(x) for x in r.embedding]) for r in base.collect()
     ]
-    py_rows = sorted(ivf_topk_py(vecs, dim=64, k=5, n_cells=16, n_probe=4, query_max_id=20))
+    py_rows = sorted(ivf_topk_py(vecs, dim=64, k=5, n_cells=16, n_probe=4, iters=2, sample_cap=256, query_max_id=20))
     assert spark_rows == py_rows
