@@ -49,6 +49,15 @@ class TableState:
         self.key_col: str = ""
         self.ts_col: str = ""
         self.num_buckets: int = 0
+        # sink-mode provenance: "" until the first delta commit, then "mor"
+        # (sticky). A reader that resolves the table in cow mode while delta
+        # files are live would silently see one stale row per un-compacted
+        # delta — recording the mode in the log lets readers adopt it and
+        # lets an explicit-cow reader be refused while deltas are active
+        # (the reference's single-process design never has this split;
+        # multi-session readers here do).
+        self.sink_mode: str = ""
+        self.delta_files: set[str] = set()
 
     def to_dict(self) -> dict:
         return {
@@ -61,6 +70,8 @@ class TableState:
             "key_col": self.key_col,
             "ts_col": self.ts_col,
             "num_buckets": self.num_buckets,
+            "sink_mode": self.sink_mode,
+            "delta_files": sorted(self.delta_files),
         }
 
     @classmethod
@@ -75,6 +86,8 @@ class TableState:
         st.key_col = d["key_col"]
         st.ts_col = d["ts_col"]
         st.num_buckets = d["num_buckets"]
+        st.sink_mode = d.get("sink_mode", "")
+        st.delta_files = set(d.get("delta_files", []))
         return st
 
 
@@ -246,8 +259,12 @@ class LakeTable:
                 st.num_buckets = s["num_buckets"]
             for p in c.get("remove", []):
                 st.files.pop(p, None)
+                st.delta_files.discard(p)
             for e in c.get("add", []):
                 st.files[e["path"]] = e
+            if c["operation"] == "delta":
+                st.sink_mode = "mor"
+                st.delta_files.update(e["path"] for e in c.get("add", []))
             summ = c.get("summary", {})
             if summ.get("epoch") is not None:
                 st.epochs.add(int(summ["epoch"]))

@@ -106,7 +106,7 @@ class CdcPipeline:
         work_dir: str,
         dedup_strategy: str = "agg",
         salt_buckets: int | None = 16,
-        sink_mode: str = "cow",
+        sink_mode: str | None = None,
         compact_every: int = 8,
         extract_versions: list[tuple[int, int]] | None = None,
         quarantine_mode: str = "batch",
@@ -134,6 +134,21 @@ class CdcPipeline:
         os.makedirs(self.lineage_dir, exist_ok=True)
         self.dedup_strategy = dedup_strategy
         self.salt_buckets = salt_buckets
+        # sink_mode=None adopts the TABLE's recorded mode (the commit log
+        # remembers whether deltas were ever written) — a second session
+        # opening an ingest table gets correct reads without out-of-band
+        # coordination. Explicit "cow" over live un-compacted deltas is
+        # refused: that read silently returns superseded rows.
+        if sink_mode is None:
+            sink_mode = table.state().sink_mode or "cow"
+        elif sink_mode == "cow":
+            st = table.state()
+            if st.delta_files:
+                raise ValueError(
+                    "table has un-compacted delta files (written in mor mode); "
+                    "a cow-mode read would return superseded rows — pass "
+                    "sink_mode='mor' (or None to adopt the recorded mode)"
+                )
         if sink_mode not in ("cow", "mor"):
             raise ValueError(f"unknown sink_mode: {sink_mode}")
         self.sink_mode = sink_mode

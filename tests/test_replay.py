@@ -238,6 +238,33 @@ def test_mor_sink_equivalent_and_compacts(spark, tmp_path, events_df):
     assert pipe.audit(events_df).count() == 0
 
 
+def test_sink_mode_recorded_adopted_and_guarded(spark, tmp_path, events_df):
+    """The commit log records mor-mode provenance: a SECOND session (fresh
+    pipeline, default sink_mode=None) adopts the table's recorded mode, and
+    an explicit cow-mode reader is refused while un-compacted deltas are
+    live (a cow read over deltas silently returns superseded rows — the
+    exact bug class the spark-submit e2e test first exposed)."""
+    pipe = make_pipeline(spark, tmp_path, sink_mode="mor", compact_every=10_000)
+    pipe.run_replay(events_df, epochs_per_batch=EPB)
+    st = pipe.table.state()
+    assert st.sink_mode == "mor" and st.delta_files
+
+    # fresh pipeline over the same table: adopts mor, audit stays green
+    pipe2 = CdcPipeline(spark, pipe.table, str(tmp_path / "work2"))
+    assert pipe2.sink_mode == "mor"
+    assert pipe2.audit(events_df).count() == 0
+
+    with pytest.raises(ValueError, match="un-compacted delta"):
+        CdcPipeline(spark, pipe.table, str(tmp_path / "work3"), sink_mode="cow")
+
+    # after full compaction there are no live deltas: explicit cow is a
+    # conscious, now-safe mode switch — allowed
+    pipe.table.compact(pipe._resolve_latest)
+    assert not pipe.table.state().delta_files
+    pipe3 = CdcPipeline(spark, pipe.table, str(tmp_path / "work4"), sink_mode="cow")
+    assert pipe3.audit(events_df).count() == 0
+
+
 def test_literal_ufffd_page_is_quarantined_not_dropped(spark, tmp_path):
     """A VALID-UTF-8 page whose text is mostly literal U+FFFD characters
     fails the replacement-ratio rule at extraction time; it must land in the
