@@ -68,6 +68,7 @@ HEADLINE = [
     "simhash_dups",
     "embedding_near_dups",
     "ivf_ann",
+    "gopher_quality",
 ]
 
 

@@ -118,6 +118,70 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(cnt > 0, acc).otherwise(F.array().cast("array<bigint>"))
 
 
+def repetition_stats(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition/quality signals (Rae et al. 2021, public):
+    word count, mean word length, duplicate-word fraction, most-frequent
+    word fraction, most-frequent bigram fraction.
+
+    Scale shape: the usual implementation explodes tokens and does two
+    grouped aggregations per document (row count × avg words shuffle
+    rows). Here the most-frequent-token count is instead the LONGEST RUN
+    in the *sorted* token array, computed by one ``F.aggregate`` fold —
+    zero explode, zero shuffle, whole-stage codegen; per-doc cost is
+    O(words log words) inside the row. Lambdas touch only their own
+    arguments (the `shingles` per-element re-evaluation lesson)."""
+    toks = tokens(text)
+    n = F.size(toks)
+
+    def _longest_run(arr: Column) -> Column:
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(acc, t):
+            run = F.when(t == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                t.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+            )
+
+        return F.aggregate(arr, zero, step)["best"]
+
+    top_word = _longest_run(F.array_sort(toks))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bigram = _longest_run(F.array_sort(bigrams))
+    sum_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return {
+        "n_words": n,
+        "mean_word_len": F.when(n > 0, sum_len / n),
+        "dup_word_frac": F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct(toks)) / n),
+        "top_word_frac": F.when(n > 0, top_word / n),
+        "top_bigram_frac": F.when(n >= 2, top_bigram / (n - 1)),
+    }
+
+
+def gopher_quality_ok(
+    text: Column | None = None, stats: dict[str, Column] | None = None
+) -> Column:
+    """Boolean Gopher-rule gate over :func:`repetition_stats` (thresholds
+    from the published filter, adapted to word granularity): 3 <= mean
+    word length <= 10, duplicate-word fraction < 0.6, most-frequent word
+    < 0.2 of the doc, most-frequent bigram < 0.18 of transitions, and at
+    least 8 words. Pass ``stats`` to reuse already-projected signal
+    columns instead of re-deriving the expression tree."""
+    s = stats if stats is not None else repetition_stats(text)
+    return (
+        (s["n_words"] >= 8)
+        & s["mean_word_len"].between(3.0, 10.0)
+        & (s["dup_word_frac"] < 0.6)
+        & (s["top_word_frac"] < 0.2)
+        & (F.coalesce(s["top_bigram_frac"] < 0.18, F.lit(False)))
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """64-bit whole-document fingerprint: xxhash64 of the
     whitespace-normalized lowercase text (rolling-hash family, exact-dup

@@ -25,7 +25,9 @@ from cosmwasm_etl_spark.functions.text import (
     bpe_ish_token_count,
     char_classes,
     doc_fingerprint,
+    gopher_quality_ok,
     lang_id,
+    repetition_stats,
     token_count,
 )
 from cosmwasm_etl_spark.operators.asof import asof_join
@@ -709,6 +711,66 @@ SELECT doc_id, CASE WHEN b.score > 0 THEN b.code ELSE 'und' END AS lang_pred FRO
 SQL_LANG_ID_DOCS = _sql_lang_id()
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style repetition/quality signals + filter flag per document
+    (Rae et al. 2021 rules, adapted to word granularity).
+
+    Plan shape: the most-frequent-token count is the longest run in the
+    SORTED token array — one ``F.aggregate`` fold per row, so the whole
+    query is a single zero-shuffle projection (the textbook explode +
+    two-level groupBy would shuffle rows × avg-words). The DuckDB oracle
+    below IS that textbook unnest/GROUP BY formulation — two independent
+    computation strategies agreeing on every value."""
+    docs = _t(spark, sf_dir, "documents")
+    s = repetition_stats(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_words"].alias("n_words"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["dup_word_frac"].alias("dup_word_frac"),
+        s["top_word_frac"].alias("top_word_frac"),
+        s["top_bigram_frac"].alias("top_bigram_frac"),
+        gopher_quality_ok(stats=s).alias("gopher_ok"),
+    )
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0) AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t
+), words AS (
+  SELECT doc_id, unnest(toks) AS w FROM base
+), wstats AS (
+  SELECT doc_id, max(c) AS top_c, count(*) AS n_distinct, sum(c * wl) AS sum_len
+  FROM (SELECT doc_id, w, count(*) AS c, len(w) AS wl FROM words GROUP BY doc_id, w)
+  GROUP BY doc_id
+), bigrams AS (
+  SELECT doc_id, unnest(list_transform(range(1, n), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM base WHERE n >= 2
+), bstats AS (
+  SELECT doc_id, max(c) AS top_bg
+  FROM (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n AS n_words,
+       CASE WHEN b.n > 0 THEN ws.sum_len / b.n END AS mean_word_len,
+       CASE WHEN b.n > 0 THEN 1.0 - ws.n_distinct / b.n END AS dup_word_frac,
+       CASE WHEN b.n > 0 THEN ws.top_c / b.n END AS top_word_frac,
+       CASE WHEN b.n >= 2 THEN bs.top_bg / (b.n - 1) END AS top_bigram_frac,
+       (b.n >= 8 AND ws.sum_len / b.n BETWEEN 3.0 AND 10.0
+        AND (1.0 - ws.n_distinct / b.n) < 0.6
+        AND ws.top_c / b.n < 0.2
+        AND coalesce(bs.top_bg / (b.n - 1) < 0.18, FALSE)) AS gopher_ok
+FROM base b
+LEFT JOIN wstats ws USING (doc_id)
+LEFT JOIN bstats bs USING (doc_id)
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (exact; LSH-bucketed at scale)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1035,6 +1097,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
+    "gopher_quality": q_gopher_quality,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -1071,6 +1134,7 @@ ORACLES = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cosine_topk": SQL_COSINE_TOPK,
