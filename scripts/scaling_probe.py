@@ -31,6 +31,13 @@ spec.loader.exec_module(bench)
 TRIGGER_CPU = 0.95
 ACCEPT_CPU = 0.9
 ACCEPT_BW = 2.5
+# sanity bounds (added after probe-4 window 19): a control reading of
+# cpu_eff 1.35 (superlinear) or 35 GB/s bandwidth (host saturates ~5-10)
+# is a measurement glitch, not a good window — triggering on it wastes a
+# pair run on noise. A *plausible* window has eff <= ~1 and bw below the
+# physical ceiling.
+CPU_SANE_MAX = 1.05
+BW_SANE_MAX = 20.0
 SMALL, LARGE = 4, 16
 N_EVENTS = 8_000_000
 
@@ -61,7 +68,9 @@ def main() -> None:
             f"replication probe; rules pre-registered before any window was polled: "
             f"run-trigger cpu_eff >= {TRIGGER_CPU} and bw_large >= {ACCEPT_BW}; "
             f"ACCEPT rule = standing r4 gate (cpu >= {ACCEPT_CPU} AND bw_large >= {ACCEPT_BW} GB/s) "
-            f"on pre AND post control; FIRST bracketed pair is FINAL whatever its value."
+            f"on pre AND post control; FIRST bracketed pair is FINAL whatever its value. "
+            f"Controls must also be PLAUSIBLE (cpu_eff <= {CPU_SANE_MAX}, bw <= {BW_SANE_MAX} GB/s) "
+            f"— superlinear/super-physical readings are glitches, not windows (probe-4 lesson)."
         ),
         "log": [],
         "pairs_run": [],
@@ -77,7 +86,8 @@ def main() -> None:
         _, hc = bench._gate_check(SMALL, LARGE)
         cpu = hc["cpu_ops_per_sec"]["efficiency"]
         bw = hc["mem_bw_gb_s"]["large"]
-        trigger = cpu >= TRIGGER_CPU and bw >= ACCEPT_BW
+        sane = cpu <= CPU_SANE_MAX and bw <= BW_SANE_MAX
+        trigger = sane and cpu >= TRIGGER_CPU and bw >= ACCEPT_BW
         state["log"].append({"window": w, "trigger_pass": trigger, "controls": hc})
         flush()
         if trigger:
@@ -88,8 +98,10 @@ def main() -> None:
             _, hc2 = bench._gate_check(SMALL, LARGE)
             cpu2 = hc2["cpu_ops_per_sec"]["efficiency"]
             bw2 = hc2["mem_bw_gb_s"]["large"]
+            sane2 = cpu2 <= CPU_SANE_MAX and bw2 <= BW_SANE_MAX
             clean = (
-                cpu >= ACCEPT_CPU and bw >= ACCEPT_BW
+                sane2
+                and cpu >= ACCEPT_CPU and bw >= ACCEPT_BW
                 and cpu2 >= ACCEPT_CPU and bw2 >= ACCEPT_BW
             )
             entry = {
