@@ -1,0 +1,87 @@
+"""Deterministic dataset splitting & sampling for training pipelines.
+
+A training-data pipeline needs REPRODUCIBLE train/val/test assignment:
+the split of a document must be a pure function of its key, stable across
+runs, cluster sizes, and partitionings (``df.randomSplit`` is none of
+those — it is partition-order dependent). Both splitters here are pure
+Column expressions (JVM-side, whole-stage codegen, zero shuffle).
+
+Two hash families:
+
+- :func:`split_assign` (default) — mixes the key with ``xxhash64``; best
+  dispersion, the production path.
+- ``hash_family="lcg"`` — an overflow-safe affine mix whose arithmetic is
+  exactly expressible in ANSI SQL (see :func:`lcg_sql_expr`), so the
+  driver's DuckDB oracle can recompute assignments value-for-value. The
+  multiplications are bounded far below 2^63: safe under Spark's ANSI
+  overflow checking and identical in DuckDB's int64 semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Overflow-safe affine mix: key -> [0, 2^31). Two rounds of
+# (x * a + c) mod m with m1 = 1_000_003 (prime) then m2 = 2^31;
+# max intermediate 1_000_002 * 69_069 + 12_345 < 7e10 << 2^63.
+_M1 = 1_000_003
+_A1, _C1 = 69_069, 12_345
+_M2 = 2_147_483_648  # 2^31
+
+
+def _lcg_frac(key: Column) -> Column:
+    r1 = F.pmod(key.cast("bigint"), F.lit(_M1))
+    r2 = F.pmod(r1 * F.lit(_A1) + F.lit(_C1), F.lit(_M2))
+    # second scramble so consecutive keys don't map to consecutive fracs
+    r3 = F.pmod(r2 * F.lit(_A1) + F.lit(_C1), F.lit(_M2))
+    return r3 / F.lit(float(_M2))
+
+
+def lcg_sql_expr(key_sql: str) -> str:
+    """The ANSI-SQL twin of the ``lcg`` hash family (DuckDB oracle)."""
+    r1 = f"(({key_sql}) % {_M1})"
+    r2 = f"(({r1} * {_A1} + {_C1}) % {_M2})"
+    r3 = f"(({r2} * {_A1} + {_C1}) % {_M2})"
+    return f"({r3} / {float(_M2)})"
+
+
+def split_frac(key: Column, seed: int = 42, hash_family: str = "xxhash64") -> Column:
+    """Deterministic uniform [0,1) fraction from a key column."""
+    if hash_family == "xxhash64":
+        h = F.xxhash64(key, F.lit(seed))
+        # map signed 64-bit to [0,1): shift into unsigned range via the
+        # exact double ladder (2^63 offsets are exactly representable)
+        return (h.cast("double") + F.lit(9.223372036854776e18)) / F.lit(1.8446744073709552e19)
+    if hash_family == "lcg":
+        return _lcg_frac(key)
+    raise ValueError(f"unknown hash_family: {hash_family}")
+
+
+def split_assign(
+    key: Column,
+    weights: dict[str, float],
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> Column:
+    """Assign each row to a named split with probability proportional to
+    ``weights`` (need not sum to 1 — they are normalized). Assignment is a
+    pure function of (key, seed): re-running, re-partitioning, or scaling
+    the cluster never moves a row between splits, and adding NEW rows
+    never re-assigns old ones — the property that keeps eval sets
+    uncontaminated across dataset versions."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    frac = split_frac(key, seed=seed, hash_family=hash_family)
+    expr = None
+    cum = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cond = frac < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))

@@ -711,6 +711,97 @@ SELECT doc_id, CASE WHEN b.score > 0 THEN b.code ELSE 'und' END AS lang_pred FRO
 SQL_LANG_ID_DOCS = _sql_lang_id()
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (training-pipeline op):
+    split is a pure function of doc_id — stable across runs, partitionings
+    and cluster sizes (unlike randomSplit), so eval sets never leak when
+    the corpus grows. Aggregated per split (count + char checksum), which
+    verifies EVERY row's assignment against the oracle. Uses the lcg hash
+    family so the DuckDB oracle recomputes assignments in pure SQL; the
+    production default is xxhash64 (pytest parity + dispersion tests)."""
+    from cosmwasm_etl_spark.functions.sampling import split_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    assign = split_assign(F.col("doc_id"), _SPLIT_WEIGHTS, hash_family="lcg")
+    return (
+        docs.groupBy(assign.alias("split"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def _sql_dataset_split() -> str:
+    from cosmwasm_etl_spark.functions.sampling import lcg_sql_expr
+
+    # cumulative thresholds as the SAME Python floats Spark uses in F.lit
+    # (0.8 + 0.1 != 0.9 in IEEE — repr() keeps the two sides bit-identical)
+    total = sum(_SPLIT_WEIGHTS.values())
+    cases, cum = [], 0.0
+    items = list(_SPLIT_WEIGHTS.items())
+    for name, w in items[:-1]:
+        cum += w / total
+        cases.append(f"WHEN frac < {cum!r} THEN '{name}'")
+    return f"""
+WITH f AS (
+  SELECT n_chars, {lcg_sql_expr('doc_id')} AS frac FROM documents
+), a AS (
+  SELECT CASE {' '.join(cases)} ELSE '{items[-1][0]}' END AS split, n_chars FROM f
+)
+SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM a GROUP BY split
+"""
+
+
+SQL_DATASET_SPLIT = _sql_dataset_split()
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Exact per-source token-count quantiles by rank selection (discrete
+    quantile: element at ceil(q*n) — no interpolation, so Spark and DuckDB
+    agree bit-for-bit). One window pass + one grouped aggregation; at
+    scale the partition key is `source`, the natural stratification
+    column. (Interpolating percentile() implementations differ across
+    engines — rank selection sidesteps that entire class of drift.)"""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", token_count(F.col("text")).alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens")
+    r = t.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("source"))
+    )
+
+    def _at(q: float):
+        idx = F.ceil(F.lit(q) * F.col("cnt"))
+        return F.max(F.when(F.col("rn") == idx, F.col("n_tokens")))
+
+    return r.groupBy("source").agg(
+        F.max("cnt").alias("n_docs"),
+        _at(0.5).alias("p50_tokens"),
+        _at(0.9).alias("p90_tokens"),
+        _at(0.99).alias("p99_tokens"),
+    )
+
+
+SQL_DOC_LENGTH_QUANTILES = f"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0)) AS n_tokens
+  FROM documents
+), r AS (
+  SELECT source, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM t
+)
+SELECT source,
+       max(cnt) AS n_docs,
+       max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+       max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n_tokens END) AS p90_tokens,
+       max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN n_tokens END) AS p99_tokens
+FROM r GROUP BY source
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style repetition/quality signals + filter flag per document
     (Rae et al. 2021 rules, adapted to word granularity).
@@ -1098,6 +1189,8 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
     "gopher_quality": q_gopher_quality,
+    "dataset_split": q_dataset_split,
+    "doc_length_quantiles": q_doc_length_quantiles,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -1135,6 +1228,8 @@ ORACLES = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "dataset_split": SQL_DATASET_SPLIT,
+    "doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cosine_topk": SQL_COSINE_TOPK,

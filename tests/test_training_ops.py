@@ -395,3 +395,74 @@ def test_ivf_ann_planted_neighbors_and_spec_parity(spark, sf_dir):
     ]
     py_rows = sorted(ivf_topk_py(vecs, dim=64, k=5, n_cells=16, n_probe=4, iters=2, sample_cap=256, query_max_id=20))
     assert spark_rows == py_rows
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    """Train/val/test assignment is a pure function of (key, seed):
+    identical across recomputation AND across physical partitionings —
+    the property df.randomSplit lacks."""
+    from cosmwasm_etl_spark.functions.sampling import split_assign
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.range(0, 10_000)
+    a = {r.id: r.s for r in df.select("id", split_assign(F.col("id"), w).alias("s")).collect()}
+    b = {
+        r.id: r.s
+        for r in df.repartition(17)
+        .select("id", split_assign(F.col("id"), w).alias("s"))
+        .collect()
+    }
+    assert a == b
+    # proportions near the weights (xxhash64 dispersion)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 10_000 - 0.8) < 0.02
+    assert abs(c["val"] / 10_000 - 0.1) < 0.015
+    assert abs(c["test"] / 10_000 - 0.1) < 0.015
+    # growth stability: extending the corpus never re-assigns old keys
+    big = {
+        r.id: r.s
+        for r in spark.range(0, 20_000)
+        .select("id", split_assign(F.col("id"), w).alias("s"))
+        .collect()
+    }
+    assert all(big[k] == v for k, v in a.items())
+    # different seed -> different assignment (not a constant function)
+    seeded = {
+        r.id: r.s
+        for r in df.select("id", split_assign(F.col("id"), w, seed=7).alias("s")).collect()
+    }
+    assert seeded != a
+
+
+def test_split_assign_lcg_matches_python_twin(spark):
+    """The lcg hash family (the SQL-oracle-able variant) must agree with a
+    from-scratch Python recompute of the published affine formula."""
+    from cosmwasm_etl_spark.functions.sampling import _A1, _C1, _M1, _M2, split_frac
+
+    got = {
+        r.id: r.f
+        for r in spark.range(0, 2_000)
+        .select("id", split_frac(F.col("id"), hash_family="lcg").alias("f"))
+        .collect()
+    }
+
+    def py_frac(k: int) -> float:
+        r1 = k % _M1
+        r2 = (r1 * _A1 + _C1) % _M2
+        r3 = (r2 * _A1 + _C1) % _M2
+        return r3 / float(_M2)
+
+    assert all(got[k] == py_frac(k) for k in got)
+
+
+def test_split_assign_validates_weights(spark):
+    from cosmwasm_etl_spark.functions.sampling import split_assign
+
+    with pytest.raises(ValueError, match="non-empty"):
+        split_assign(F.col("id"), {})
+    with pytest.raises(ValueError, match="positive"):
+        split_assign(F.col("id"), {"a": 0.0})
+    with pytest.raises(ValueError, match="hash_family"):
+        split_assign(F.col("id"), {"a": 1.0}, hash_family="md5")
