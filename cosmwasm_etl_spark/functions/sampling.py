@@ -72,6 +72,8 @@ def split_assign(
     uncontaminated across dataset versions."""
     if not weights:
         raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
