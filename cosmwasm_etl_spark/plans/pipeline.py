@@ -700,7 +700,14 @@ class CdcPipeline:
         from pyspark.errors import AnalysisException
 
         try:
-            return self.spark.read.parquet(os.path.join(self.quarantine_dir, "batch=*"))
+            df = self.spark.read.parquet(os.path.join(self.quarantine_dir, "batch=*"))
+            # one row per quarantined event: a crash between a retry pass's
+            # compaction write and its old-dir cleanup briefly leaves two
+            # copies of each still-failing row (identical except possibly a
+            # refreshed err from the newer pass); collapse on the unique
+            # event id so duplicates never survive into reads, counts, or
+            # the next compaction
+            return df.dropDuplicates(["seq"])
         except AnalysisException as e:
             cond = (e.getCondition() or "") if hasattr(e, "getCondition") else ""
             if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):

@@ -190,6 +190,38 @@ def test_quarantine_resolution_lifecycle(spark, tmp_path, events_df):
     assert os.path.isdir(str(tmp_path))  # tmp sanity
 
 
+def test_quarantine_torn_compaction_heals(spark, tmp_path, events_df):
+    """Crash between a retry pass's compaction write and its old-dir
+    cleanup leaves two copies of every still-failing row. read_quarantine
+    must collapse duplicates (one row per event seq) and the next retry
+    pass must converge the store back to a single clean directory."""
+    import glob
+    import os
+    import shutil
+
+    pipe = make_pipeline(spark, tmp_path)
+    pipe.run_replay(events_df, epochs_per_batch=EPB)
+    n0 = pipe.read_quarantine().count()
+    assert n0 > 0
+    # simulate the torn state: duplicate the store into a second batch dir
+    dirs = glob.glob(os.path.join(pipe.quarantine_dir, "batch=*"))
+    assert dirs
+    shutil.copytree(dirs[0], os.path.join(pipe.quarantine_dir, "batch=torn_copy"))
+    assert pipe.read_quarantine().count() == n0  # dupes collapsed on read
+
+    def failing_extractor(df):
+        return df.withColumn("text", F.lit(None).cast("binary")).withColumn(
+            "__extract_err", F.lit("still_bad")
+        )
+
+    res = pipe.retry_quarantine(batch_id=30_000, extractor=failing_extractor)
+    assert res["retried"] == n0 and res["resolved"] == 0
+    # compaction rebuilt a single clean directory, still unique per seq
+    assert len(glob.glob(os.path.join(pipe.quarantine_dir, "batch=*"))) == 1
+    q = pipe.read_quarantine()
+    assert q.count() == n0 == q.select("seq").distinct().count()
+
+
 def test_lineage_emitted_per_batch(spark, tmp_path, events_df):
     pipe = make_pipeline(spark, tmp_path)
     stats = pipe.run_replay(events_df, epochs_per_batch=EPB)
