@@ -136,3 +136,27 @@ def test_dedup_exchange_is_narrow(spark, tmp_path):
     # and the payload side is joined via broadcast, never shuffled
     assert "BroadcastHashJoin" in plan
     assert plan.count("Exchange hashpartitioning") <= 1  # only the key agg
+
+
+def test_gopher_quality_is_zero_shuffle_projection(spark, sf_dir):
+    """The repetition stats ride ONE scan with no exchange — the
+    longest-run-in-sorted-array form replaces the textbook explode +
+    two-level groupBy (which would shuffle rows × words)."""
+    from cosmwasm_etl_spark.queries import q_gopher_quality
+
+    plan = _plan(q_gopher_quality(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode anywhere
+
+
+def test_dataset_split_single_exchange_and_pruned_scan(spark, sf_dir):
+    """Split assignment is a projection; the only exchange is the final
+    3-group aggregate, and the scan reads just (doc_id, n_chars)."""
+    from cosmwasm_etl_spark.queries import q_dataset_split
+
+    df = q_dataset_split(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1
+    fmt = _formatted(df)
+    read_schema = fmt.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read_schema  # column pruning reached the scan
