@@ -29,6 +29,7 @@ from cosmwasm_etl_spark.functions.text import (
     lang_id,
     repetition_stats,
     token_count,
+    tokens,
 )
 from cosmwasm_etl_spark.operators.asof import asof_join
 from cosmwasm_etl_spark.operators.rank_anti import multiset_anti_join
@@ -862,6 +863,65 @@ LEFT JOIN bstats bs USING (doc_id)
 """
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per source by a TF-IDF-style score with a
+    RATIONAL idf — tf * (N - df + 0.5) / (df + 0.5), the BM25 idf core
+    without the log. Deliberate: rational double arithmetic is
+    bit-deterministic across engines, while ln()/log() may differ by an
+    ulp between libm implementations and break value-hash comparison.
+
+    Scale shape: one explode feeds BOTH aggregations (term frequency per
+    source, document frequency per term); the df side joins back on the
+    term key (a shuffle join — vocabulary is unbounded, broadcasting it
+    would be wrong at corpus scale); deterministic tie-break
+    (score desc, term asc) via one window per source."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    n_docs = docs.count()  # scalar (driver literal), the corpus size
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(df_, "term").withColumn(
+        "score",
+        F.col("tf")
+        * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "term", "tf", "df", "score")
+    )
+
+
+def _sql_tfidf_top_terms(n_docs_expr: str = "(SELECT count(*) FROM documents)") -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0)) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term
+), df AS (
+  SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term
+), scored AS (
+  SELECT tf.source, tf.term, tf.tf, df.df,
+         tf.tf * (CAST({n_docs_expr} AS DOUBLE) - df.df + 0.5) / (df.df + 0.5) AS score
+  FROM tf JOIN df USING (term)
+)
+SELECT source, rank, term, tf, df, score
+FROM (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rank FROM scored)
+WHERE rank <= 3
+"""
+
+
+SQL_TFIDF_TOP_TERMS = _sql_tfidf_top_terms()
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs (exact; LSH-bucketed at scale)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1191,6 +1251,7 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "dataset_split": q_dataset_split,
     "doc_length_quantiles": q_doc_length_quantiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "minhash_lsh_dups": q_minhash_lsh_dups,
@@ -1230,6 +1291,7 @@ ORACLES = {
     "gopher_quality": SQL_GOPHER_QUALITY,
     "dataset_split": SQL_DATASET_SPLIT,
     "doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "cosine_topk": SQL_COSINE_TOPK,
