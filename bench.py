@@ -69,6 +69,7 @@ HEADLINE = [
     "embedding_near_dups",
     "ivf_ann",
     "gopher_quality",
+    "tfidf_top_terms",
 ]
 
 
