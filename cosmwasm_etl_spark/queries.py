@@ -1226,6 +1226,90 @@ def q_price_series_incr(spark, sf_dir):
     )
 
 
+def _url_synth(doc_id):
+    """Five deterministic messy spellings per document group — exercises
+    every canonicalization rule (case, default vs explicit ports, tracking
+    params, param order, fragments, trailing slashes). The oracle builds
+    the SAME strings and canonicalizes them with its own SQL twin."""
+    k = F.expr("doc_id div 5").cast("string")
+    m = doc_id % 5
+    did = doc_id.cast("string")
+    # host varies with the GROUP key (not per-doc), so the five spellings
+    # of one group really collide after canonicalization
+    source = F.concat(F.lit("site"), F.expr("(doc_id div 5) % 37").cast("string"))
+    return (
+        F.when(m == 0, F.concat(F.lit("http://WWW."), source, F.lit(".example.com/articles/"), k, F.lit("/?utm_source=feed&b=2&a=1")))
+        .when(m == 1, F.concat(F.lit("HTTP://www."), source, F.lit(".EXAMPLE.COM:80/articles/"), k, F.lit("?a=1&b=2&fbclid=x"), did))
+        .when(m == 2, F.concat(F.lit("https://"), source, F.lit(".example.com:443/articles/"), k, F.lit("?b=2&a=1#frag")))
+        .when(m == 3, F.concat(F.lit("http://www."), source, F.lit(".example.com/articles/"), k, F.lit("/?b=2&a=1#section-"), did))
+        .otherwise(F.concat(F.lit("http://www."), source, F.lit(".example.com:8080/articles/"), k, F.lit("?a=1&b=2&gclid="), did))
+    )
+
+
+_URL_SYNTH_SQL = """
+CASE CAST(doc_id % 5 AS INT)
+  WHEN 0 THEN 'http://WWW.' || ('site' || CAST((doc_id // 5) % 37 AS VARCHAR)) || '.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '/?utm_source=feed&b=2&a=1'
+  WHEN 1 THEN 'HTTP://www.' || ('site' || CAST((doc_id // 5) % 37 AS VARCHAR)) || '.EXAMPLE.COM:80/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2&fbclid=x' || CAST(doc_id AS VARCHAR)
+  WHEN 2 THEN 'https://' || ('site' || CAST((doc_id // 5) % 37 AS VARCHAR)) || '.example.com:443/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?b=2&a=1#frag'
+  WHEN 3 THEN 'http://www.' || ('site' || CAST((doc_id // 5) % 37 AS VARCHAR)) || '.example.com/articles/' || CAST(doc_id // 5 AS VARCHAR) || '/?b=2&a=1#section-' || CAST(doc_id AS VARCHAR)
+  ELSE 'http://www.' || ('site' || CAST((doc_id // 5) % 37 AS VARCHAR)) || '.example.com:8080/articles/' || CAST(doc_id // 5 AS VARCHAR) || '?a=1&b=2&gclid=' || CAST(doc_id AS VARCHAR)
+END
+"""
+
+
+def q_url_canonical_dedup(spark, sf_dir):
+    """URL canonicalization + canonical-key dedup (webtext CDC surface).
+
+    The input-table hint keys pages by ``url``; re-crawls arrive under
+    many spellings of the same address, and canonicalizing BEFORE the
+    latest-wins dedup is what keeps one page one CDC key. The testdata
+    tables carry no url column, so both sides synthesize the same messy
+    spellings deterministically from ``documents`` and canonicalize with
+    their OWN implementation (Spark Column ops vs the DuckDB SQL twin) —
+    the driver verifies the full rule set value-for-value.
+
+    Plan shape: canonicalization is a pure projection (zero shuffle,
+    whole-stage codegen); the dedup is one map-side-combining hash
+    aggregate — the same shape as the pipeline's latest-wins dedup, so it
+    holds at 10^10 rows.
+    """
+    from cosmwasm_etl_spark.functions.urls import canonicalize_url, host_of
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id"), _url_synth(F.col("doc_id")).alias("url")
+    )
+    c = t.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        host_of(F.col("url")).alias("host"),
+    )
+    return c.groupBy("canonical_url").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.min("host").alias("host"),
+    )
+
+
+def _sql_url_canonical_dedup() -> str:
+    from cosmwasm_etl_spark.functions.urls import canonical_url_sql_expr, host_sql_expr
+
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SYNTH_SQL} AS url FROM documents
+), c AS (
+  SELECT doc_id, {canonical_url_sql_expr('url')} AS canonical_url,
+         {host_sql_expr('url')} AS host
+  FROM u
+)
+SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS min_doc_id, min(host) AS host
+FROM c GROUP BY canonical_url
+"""
+
+
+SQL_URL_CANONICAL_DEDUP = _sql_url_canonical_dedup()
+
+
 QUERIES = {
     "latest_per_key": q_latest_per_key,
     "first_event_per_key": q_first_event_per_key,
@@ -1246,6 +1330,7 @@ QUERIES = {
     "routes": q_routes,
     "price_series": q_price_series,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
     "gopher_quality": q_gopher_quality,
@@ -1286,6 +1371,7 @@ ORACLES = {
     "routes": SQL_ROUTES,
     "price_series": SQL_PRICE_SERIES,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
+    "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "gopher_quality": SQL_GOPHER_QUALITY,
