@@ -97,6 +97,60 @@ def ngram_jaccard_pairs(
     return out
 
 
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_overlap: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: per-corpus-document count of distinct
+    word n-grams shared with an evaluation/benchmark set, plus the
+    ``contaminated`` gate (n-gram-overlap decontamination as used for LLM
+    training corpora — flag training documents that leak eval content).
+
+    Returns one row per corpus document: (doc_id, n_overlap, contaminated)
+    — full coverage, so an oracle can verify every document's count.
+
+    Physical shape for 10^10 docs: the benchmark n-gram set is SMALL (eval
+    suites are thousands of docs, not billions) — built distinct and
+    BROADCAST; the corpus side explodes its distinct shingles and
+    broadcast-SEMI-joins against it, so the corpus is never shuffled and
+    the only exchange carries the overlap HITS (rows ∝ contamination, not
+    corpus size). The final left join re-attaches zero counts to clean
+    docs. Shingle identity is the same two-level token-hash family as the
+    dedup suite (:func:`cosmwasm_etl_spark.functions.text.shingles`);
+    counts over hashes equal counts over the n-gram strings themselves
+    (injective modulo 64-bit collisions), which is what the DuckDB oracle
+    recomputes string-side.
+    """
+    b_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+        )
+        .distinct()
+    )
+    c_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"),
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "sh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= min_overlap).alias("contaminated"),
+        )
+    )
+
+
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 32, n: int = 3, seed: int = 42) -> DataFrame:
     """(id, mh_0..mh_{k-1}) minhash signatures.
 

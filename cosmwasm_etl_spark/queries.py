@@ -1226,6 +1226,43 @@ def q_price_series_incr(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (training-data op): every 97th document
+    plays the held-out eval set; the rest of the corpus is scored by how
+    many distinct word 5-grams it shares with that set, and gated at
+    >= 3 shared shingles. Corpus never shuffles (benchmark shingle set is
+    broadcast; the one exchange carries only overlap hits)."""
+    from cosmwasm_etl_spark.functions.dedup import benchmark_overlap
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 11 == 0)
+    corpus = docs.filter(F.col("doc_id") % 11 != 0)
+    return benchmark_overlap(corpus, bench, n=4, min_overlap=2)
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0) t
+  FROM documents
+), b AS (
+  SELECT DISTINCT unnest([array_to_string(t[i:i+3], ' ')
+                          for i in generate_series(1, len(t) - 3)]) AS s
+  FROM toks WHERE doc_id % 11 = 0 AND len(t) >= 4
+), c AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(t[i:i+3], ' ')
+                                       for i in generate_series(1, len(t) - 3)])) AS s
+  FROM toks WHERE doc_id % 11 <> 0 AND len(t) >= 4
+), hits AS (
+  SELECT c.doc_id, count(*) AS n FROM c JOIN b ON c.s = b.s GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_overlap,
+       coalesce(h.n, 0) >= 2 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 11 <> 0
+"""
+
+
 def _url_synth(doc_id):
     """Five deterministic messy spellings per document group — exercises
     every canonicalization rule (case, default vs explicit ports, tracking
@@ -1331,6 +1368,7 @@ QUERIES = {
     "price_series": q_price_series,
     "exact_dedup_docs": q_exact_dedup_docs,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "decontaminate": q_decontaminate,
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
     "gopher_quality": q_gopher_quality,
@@ -1372,6 +1410,7 @@ ORACLES = {
     "price_series": SQL_PRICE_SERIES,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "decontaminate": SQL_DECONTAMINATE,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "gopher_quality": SQL_GOPHER_QUALITY,

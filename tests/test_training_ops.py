@@ -466,3 +466,37 @@ def test_split_assign_validates_weights(spark):
         split_assign(F.col("id"), {"a": 0.0})
     with pytest.raises(ValueError, match="hash_family"):
         split_assign(F.col("id"), {"a": 1.0}, hash_family="md5")
+
+
+def test_decontamination_flags_planted_leak(spark):
+    """A corpus doc that copies a benchmark doc's text must be flagged;
+    an unrelated doc must stay clean with zero overlap."""
+    from cosmwasm_etl_spark.functions.dedup import benchmark_overlap
+
+    bench_text = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows_b = [(100, bench_text)]
+    rows_c = [
+        (1, bench_text + " and then some extra words at the end"),  # leaked
+        (2, "completely unrelated content about spark physical plans here"),
+        (3, "short doc"),  # fewer tokens than the shingle width -> 0-gram doc
+    ]
+    bench = spark.createDataFrame(rows_b, ["doc_id", "text"])
+    corpus = spark.createDataFrame(rows_c, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in benchmark_overlap(corpus, bench, n=4, min_overlap=2).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 5
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)  # degenerate doc still present in output
+
+
+def test_decontamination_plan_broadcasts_benchmark(spark, sf_dir):
+    """The corpus side must reach the benchmark filter through a BROADCAST
+    semi-join (the benchmark set is the small side at any corpus scale) —
+    a shuffled semi would move the whole exploded corpus."""
+    from cosmwasm_etl_spark.queries import q_decontaminate
+
+    plan = q_decontaminate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
