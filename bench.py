@@ -70,6 +70,9 @@ HEADLINE = [
     "ivf_ann",
     "gopher_quality",
     "tfidf_top_terms",
+    # r5 webtext surface: canonical-url CDC keying and eval-set leakage
+    "url_canonical_dedup",
+    "decontaminate",
 ]
 
 

@@ -1226,6 +1226,63 @@ def q_price_series_incr(spark, sf_dir):
     )
 
 
+def q_cdc_changelog(spark, sf_dir):
+    """CDC read side: insert/update/delete changelog between two snapshot
+    times (the lake change-data-feed contract), computed in ONE scan and
+    ONE shuffle — a single groupBy(key) with two conditional max_by
+    winners, no self-join. Latest event_type='error' plays the tombstone
+    (latest-wins + tombstone = the pipeline's delete semantics)."""
+    from cosmwasm_etl_spark.operators.changelog import snapshot_diff
+
+    ev = _t(spark, sf_dir, "events")
+    out = snapshot_diff(
+        ev,
+        key="user_id",
+        order_cols=["event_id"],
+        t1=F.lit("2024-01-15 00:00:00").cast("timestamp"),
+        t2=F.lit("2024-01-31 00:00:00").cast("timestamp"),
+        value_cols=["event_type", "value"],
+        tombstone=F.col("event_type") == "error",
+    )
+    return out.select(
+        "user_id",
+        "change_type",
+        "old_event_id",
+        "new_event_id",
+        "old_event_type",
+        "new_event_type",
+        F.round("old_value", 4).alias("old_value"),
+        F.round("new_value", 4).alias("new_value"),
+    )
+
+
+SQL_CDC_CHANGELOG = """
+WITH r1 AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+), r2 AS (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events WHERE ts <= TIMESTAMP '2024-01-31 00:00:00'
+), p1 AS (
+  SELECT * FROM r1 WHERE rn = 1 AND event_type <> 'error'
+), p2 AS (
+  SELECT * FROM r2 WHERE rn = 1 AND event_type <> 'error'
+), d AS (
+  SELECT coalesce(p1.user_id, p2.user_id) AS user_id,
+         CASE WHEN p1.user_id IS NULL THEN 'insert'
+              WHEN p2.user_id IS NULL THEN 'delete'
+              WHEN p1.event_id <> p2.event_id THEN 'update' END AS change_type,
+         p1.event_id AS old_event_id, p2.event_id AS new_event_id,
+         p1.event_type AS old_event_type, p2.event_type AS new_event_type,
+         round(p1.value, 4) AS old_value, round(p2.value, 4) AS new_value
+  FROM p1 FULL OUTER JOIN p2 ON p1.user_id = p2.user_id
+)
+SELECT * FROM d WHERE change_type IS NOT NULL
+"""
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (training-data op): every 97th document
     plays the held-out eval set; the rest of the corpus is scored by how
@@ -1369,6 +1426,7 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "url_canonical_dedup": q_url_canonical_dedup,
     "decontaminate": q_decontaminate,
+    "cdc_changelog": q_cdc_changelog,
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
     "gopher_quality": q_gopher_quality,
@@ -1411,6 +1469,7 @@ ORACLES = {
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "decontaminate": SQL_DECONTAMINATE,
+    "cdc_changelog": SQL_CDC_CHANGELOG,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "gopher_quality": SQL_GOPHER_QUALITY,
