@@ -1006,6 +1006,58 @@ FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM clustered)
 """
 
 
+def q_cluster_retention(spark, sf_dir):
+    """Near-dup retention policy (training-data op): within each dedup
+    cluster keep ONE representative — the doc with the most tokens,
+    tie-broken by lowest doc_id (the "keep the longest variant" rule used
+    when collapsing boilerplate families). Composes the full pipeline:
+    tokenize → shingle → Jaccard pairs → connected components → scored
+    pick; the pick itself is ONE map-side-combined max_by aggregate (no
+    window sort), so it adds a single narrow exchange on cluster id.
+    Token count is integer-exact, so the oracle verifies the retention
+    choice bit-for-bit."""
+    from cosmwasm_etl_spark.functions.text import token_count
+    from cosmwasm_etl_spark.operators.components import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, text_col="text", id_col="doc_id", n=3, threshold=0.12)
+    clusters = dedup_clusters(pairs, docs.select("doc_id"))
+    scored = docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
+    j = clusters.join(scored, "doc_id")
+    best = F.max_by(
+        F.struct(F.col("doc_id"), F.col("n_tokens")),
+        F.struct(F.col("n_tokens"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    return (
+        j.groupBy("canonical_id")
+        .agg(best.alias("w"), F.max("cluster_size").alias("cluster_size"))
+        .select(
+            "canonical_id",
+            F.col("w")["doc_id"].alias("kept_doc_id"),
+            F.col("w")["n_tokens"].alias("kept_tokens"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+SQL_CLUSTER_RETENTION = f"""
+WITH tk AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0)) AS n_tokens
+  FROM documents
+), j AS (
+  SELECT c.canonical_id, c.doc_id, c.cluster_size, tk.n_tokens
+  FROM ({SQL_DEDUP_CLUSTERS}) c JOIN tk USING (doc_id)
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY canonical_id ORDER BY n_tokens DESC, doc_id ASC) rn
+  FROM j
+)
+SELECT canonical_id, doc_id AS kept_doc_id, CAST(n_tokens AS INT) AS kept_tokens,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM r WHERE rn = 1
+"""
+
+
 def q_minhash_lsh_dups(spark, sf_dir):
     """MinHash+LSH near-dup pairs (scale path; verified by exact Jaccard).
 
@@ -1427,6 +1479,7 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "decontaminate": q_decontaminate,
     "cdc_changelog": q_cdc_changelog,
+    "cluster_retention": q_cluster_retention,
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
     "gopher_quality": q_gopher_quality,
@@ -1470,6 +1523,7 @@ ORACLES = {
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
     "decontaminate": SQL_DECONTAMINATE,
     "cdc_changelog": SQL_CDC_CHANGELOG,
+    "cluster_retention": SQL_CLUSTER_RETENTION,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "gopher_quality": SQL_GOPHER_QUALITY,
