@@ -1278,6 +1278,94 @@ def q_price_series_incr(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization (gap > 30 min starts a new session) — the
+    batch analog of the streaming `session_window` re-crawl-storm
+    grouping (`streaming/windowed.py`): lag over (user, ts) marks session
+    starts, a running sum numbers them, then one grouped aggregate emits
+    per-session stats. Two logical windows but ONE physical sort: both
+    window functions share the (user_id, ts, event_id) ordering, so
+    Catalyst plans a single exchange + sort. Timestamps are emitted as
+    epoch seconds (integer-exact across engines)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    s = ev.withColumn("sess_no", F.sum(new_sess).over(w))
+    return (
+        s.groupBy("user_id", "sess_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_timestamp(F.min("ts")).alias("start_s"),
+            F.unix_timestamp(F.max("ts")).alias("end_s"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .withColumn("sess_no", F.col("sess_no").cast("long"))
+    )
+
+
+SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_no
+  FROM g
+)
+SELECT user_id, CAST(sess_no AS BIGINT) AS sess_no,
+       count(*) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, sess_no
+"""
+
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.125}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source downsampling (data mixing): each source
+    gets a keep rate and a document survives iff its key-hash fraction is
+    below its source's rate — a pure function of (doc_id, source), so the
+    mix is reproducible across runs, partitionings and cluster sizes, and
+    growing the corpus never resamples old rows. Zero shuffle until the
+    per-source audit aggregate. Verified per-source with count + char
+    checksum (covers every kept row). Unknown sources keep rate 1.0."""
+    from cosmwasm_etl_spark.functions.sampling import split_frac
+
+    docs = _t(spark, sf_dir, "documents")
+    rate = None
+    for src, r in _MIX_RATES.items():
+        cond = F.col("source") == src
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = rate.otherwise(F.lit(1.0))
+    kept = docs.filter(split_frac(F.col("doc_id"), hash_family="lcg") < rate)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from cosmwasm_etl_spark.functions.sampling import lcg_sql_expr
+
+    cases = " ".join(f"WHEN '{s}' THEN {r!r}" for s, r in _MIX_RATES.items())
+    return f"""
+SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE {lcg_sql_expr('doc_id')} < (CASE source {cases} ELSE 1.0 END)
+GROUP BY source
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
 def q_cdc_changelog(spark, sf_dir):
     """CDC read side: insert/update/delete changelog between two snapshot
     times (the lake change-data-feed contract), computed in ONE scan and
@@ -1480,6 +1568,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "cdc_changelog": q_cdc_changelog,
     "cluster_retention": q_cluster_retention,
+    "sessionize": q_sessionize,
+    "stratified_sample": q_stratified_sample,
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
     "gopher_quality": q_gopher_quality,
@@ -1524,6 +1614,8 @@ ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "cdc_changelog": SQL_CDC_CHANGELOG,
     "cluster_retention": SQL_CLUSTER_RETENTION,
+    "sessionize": SQL_SESSIONIZE,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "gopher_quality": SQL_GOPHER_QUALITY,

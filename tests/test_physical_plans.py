@@ -160,3 +160,25 @@ def test_dataset_split_single_exchange_and_pruned_scan(spark, sf_dir):
     fmt = _formatted(df)
     read_schema = fmt.split("ReadSchema")[1].splitlines()[0]
     assert "text" not in read_schema  # column pruning reached the scan
+
+
+def test_sessionize_single_exchange_shared_by_windows_and_agg(spark, sf_dir):
+    """Sessionization: both window functions share one (user_id) exchange
+    + one sort, and the final per-session aggregate reuses that
+    partitioning (ClusteredDistribution on (user_id, sess_no) is
+    satisfied by hashpartitioning(user_id)) — ONE exchange end-to-end."""
+    from cosmwasm_etl_spark.queries import q_sessionize
+
+    plan = _plan(q_sessionize(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Sort ") == 1, plan
+
+
+def test_stratified_sample_filter_is_zero_shuffle(spark, sf_dir):
+    """The keep/drop decision is a pure projection-filter: the only
+    exchange is the per-source audit aggregate."""
+    from cosmwasm_etl_spark.queries import q_stratified_sample
+
+    plan = _plan(q_stratified_sample(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
