@@ -58,6 +58,12 @@ class TableState:
         # multi-session readers here do).
         self.sink_mode: str = ""
         self.delta_files: set[str] = set()
+        # key-normalization provenance ("exact" | "canonical"): stamped by
+        # the first data commit and sticky thereafter — a pipeline opened
+        # with the other normalization would silently re-key already-
+        # committed rows, so mismatches are refused at pipeline init
+        # (same hazard class as sink-mode adoption above).
+        self.key_norm: str = ""
 
     def to_dict(self) -> dict:
         return {
@@ -72,6 +78,7 @@ class TableState:
             "num_buckets": self.num_buckets,
             "sink_mode": self.sink_mode,
             "delta_files": sorted(self.delta_files),
+            "key_norm": self.key_norm,
         }
 
     @classmethod
@@ -88,6 +95,7 @@ class TableState:
         st.num_buckets = d["num_buckets"]
         st.sink_mode = d.get("sink_mode", "")
         st.delta_files = set(d.get("delta_files", []))
+        st.key_norm = d.get("key_norm", "")
         return st
 
 
@@ -270,6 +278,8 @@ class LakeTable:
                 st.epochs.add(int(summ["epoch"]))
             if summ.get("watermark") is not None:
                 st.watermark = max(st.watermark, int(summ["watermark"]))
+            if summ.get("key_norm"):
+                st.key_norm = summ["key_norm"]
         return st
 
     def committed_epochs(self) -> set[int]:
@@ -566,6 +576,7 @@ class LakeTable:
         watermark: int | None = None,
         summary_fn=None,
         pre_partitioned: bool = False,
+        extra_summary: dict | None = None,
     ) -> dict:
         """Merge-on-read write path (LSM-style, the Hudi/Paimon MOR pattern):
         the batch is appended as bucketed *delta* files — O(batch) work, no
@@ -587,6 +598,7 @@ class LakeTable:
             "added_rows": sum(e["rows"] for e in adds),
             "ts": time.time(),
         }
+        summary.update(extra_summary or {})
         if summary_fn is not None:
             # evaluated AFTER the write job (observed metrics are available)
             # and BEFORE the atomic commit — watermark/counts land in the

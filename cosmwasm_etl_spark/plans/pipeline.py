@@ -113,6 +113,7 @@ class CdcPipeline:
         extractor: str = "arrow",
         post_commit=None,
         winner_mode: str = "full",
+        canonicalize_keys: bool = False,
     ):
         """``sink_mode``:
 
@@ -207,6 +208,38 @@ class CdcPipeline:
         # upstream skip still invokes post_commit, the downstream skips
         # what it already applied.
         self.post_commit = post_commit
+        # Canonical-key ingestion (webtext): re-crawls of the same page
+        # arrive under many spellings (case, default ports, tracking
+        # params, fragments, param order); with canonicalize_keys=True the
+        # CDC key is the canonical URL, so variants collapse into ONE
+        # latest-wins key instead of fragmenting a hot page across several.
+        # Normalization is a zero-shuffle projection applied at EVERY raw-
+        # event entry point (apply, expected-state/audit, quarantine
+        # capture all see the same keys — replay-equivalence still holds);
+        # the raw spelling stays recoverable from the immutable event log.
+        # Off by default: exact-key mode is the reference's behavior.
+        # The scheme is PROVENANCE: stamped into every data commit's
+        # summary and folded into TableState.key_norm — reopening a table
+        # with the OTHER normalization would silently re-key committed
+        # rows (the EVOLUTION_ID_STRIDE hazard class), so it is refused.
+        self.canonicalize_keys = bool(canonicalize_keys)
+        self._key_norm = "canonical" if self.canonicalize_keys else "exact"
+        st = table.state()
+        recorded = st.key_norm or ("exact" if st.epochs else "")
+        if recorded and recorded != self._key_norm:
+            raise ValueError(
+                f"table was ingested with key_norm={recorded!r} but this "
+                f"pipeline is configured {self._key_norm!r}; flipping "
+                f"canonicalize_keys on an existing table would re-key "
+                f"committed rows — open it with the recorded mode"
+            )
+
+    def _normalize(self, events: DataFrame) -> DataFrame:
+        if not self.canonicalize_keys:
+            return events
+        from cosmwasm_etl_spark.functions.urls import canonicalize_url
+
+        return events.withColumn("url", canonicalize_url(F.col("url")))
 
     # ------------------------------------------------------------ single batch
 
@@ -253,6 +286,7 @@ class CdcPipeline:
         pass. The rare quarantine spill re-reads the source slice only when
         the observed quarantine count is non-zero.
         """
+        events = self._normalize(events)
         if batch_id in self.table.committed_epochs():
             stats = {"batch_id": batch_id, "skipped": True}
             if self.post_commit is not None:
@@ -411,7 +445,8 @@ class CdcPipeline:
 
         if self.sink_mode == "mor":
             res = self.table.append_delta(
-                batch, epoch=batch_id, summary_fn=_observed_summary, pre_partitioned=True
+                batch, epoch=batch_id, summary_fn=_observed_summary, pre_partitioned=True,
+                extra_summary={"key_norm": self._key_norm},
             )
         else:
             res = self.table.merge_upserts(
@@ -420,6 +455,7 @@ class CdcPipeline:
                 op_col=None,  # tombstone pattern: deletes are flagged upserts
                 order_cols=["warc_ts", "seq"],
                 summary_fn=_observed_summary,
+                extra_summary={"key_norm": self._key_norm},
             )
 
         got = _merged_obs()
@@ -615,6 +651,7 @@ class CdcPipeline:
         re-fetch shape was measured 2x slower in the round-3 A/B AND its
         winner set — one row per distinct url in the corpus — is unbounded
         here, so there is no broadcast to exploit; see BENCH.md.)"""
+        events = self._normalize(events)
         is_ok_fast = _is_ok_fast_expr()
         masked = F.when(~is_ok_fast, F.col("html"))
         valid = events.withColumn("__q_err", check_quarantine_udf()(masked)).filter(
@@ -770,7 +807,8 @@ class CdcPipeline:
         # surfaced to the caller instead of silently reporting success.
         retry_epoch = _RETRY_EPOCH_BASE - int(batch_id)
         res = self.table.merge_upserts(
-            batch, epoch=retry_epoch, op_col=None, order_cols=["warc_ts", "seq"]
+            batch, epoch=retry_epoch, op_col=None, order_cols=["warc_ts", "seq"],
+            extra_summary={"key_norm": self._key_norm},
         )
         # compaction runs on the skipped (already-committed) path too — that
         # is exactly the crash-heal case where the previous pass committed

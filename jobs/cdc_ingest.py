@@ -70,6 +70,10 @@ def main() -> int:
                          "during maintenance")
     ap.add_argument("--vacuum-retain-versions", type=int, default=8,
                     help="table versions kept replayable by maintenance vacuum")
+    ap.add_argument("--canonicalize-keys", action="store_true",
+                    help="key the CDC stream by the CANONICAL url (case/port/"
+                         "tracking-param/fragment-normalized); recorded in the "
+                         "commit log — reopening with the other mode is refused")
     args = ap.parse_args()
 
     evolutions = None
@@ -99,6 +103,7 @@ def main() -> int:
         compact_every=args.compact_every,
         winner_mode=args.winner_mode,
         quarantine_mode="deferred" if args.mode == "replay" else "batch",
+        canonicalize_keys=args.canonicalize_keys,
     )
     ckpt = args.checkpoint or f"{args.work}/checkpoint"
 

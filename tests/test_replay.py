@@ -343,3 +343,66 @@ def test_literal_ufffd_page_is_quarantined_not_dropped(spark, tmp_path):
     urls = {r.url for r in pipe.pages().collect()}
     assert urls == {"u/ok", "u/mixed"}
     assert pipe.audit(events).count() == 0
+
+
+def test_canonical_keys_collapse_url_variants(spark, tmp_path, events_df):
+    """canonicalize_keys=True: the same page arriving under messy
+    spellings (host case, explicit default port, tracking params) must
+    collapse to ONE canonical CDC key, replay-equivalence must hold on
+    the messy log, and the final state must equal an exact-key replay of
+    the CLEAN log — canonicalization is a pure re-keying, not a
+    semantics change."""
+    from cosmwasm_etl_spark.operators.validation import full_outer_diff
+
+    m = F.pmod(F.col("seq"), F.lit(4))
+    pre = F.substring_index(F.col("url"), "/p/", 1)
+    suf = F.substring_index(F.col("url"), "/p/", -1)
+    messy = (
+        F.when(m == 1, F.concat(F.upper(pre), F.lit("/p/"), suf))
+        .when(m == 2, F.concat(F.col("url"), F.lit("?utm_source=feed")))
+        .when(m == 3, F.regexp_replace("url", r"\.example\.com/", ".example.com:443/"))
+        .otherwise(F.col("url"))
+    )
+    messy_df = events_df.withColumn("url", messy)
+
+    pipe = make_pipeline(spark, tmp_path, canonicalize_keys=True)
+    pipe.run_replay(messy_df, epochs_per_batch=EPB)
+    assert pipe.audit(messy_df).count() == 0
+
+    clean_table = create_pages_table(spark, str(tmp_path / "pages_clean"), num_buckets=8)
+    clean = CdcPipeline(spark, clean_table, str(tmp_path / "work_clean"))
+    clean.run_replay(events_df, epochs_per_batch=EPB)
+    diff = full_outer_diff(
+        pipe.pages(), clean.pages(), keys=["url"], compare_cols=["warc_ts", "text", "lang"]
+    )
+    assert diff.count() == 0
+
+    # exact-key mode on the SAME messy log fragments hot pages into
+    # several keys — the failure mode canonical keying exists to prevent
+    frag_table = create_pages_table(spark, str(tmp_path / "pages_frag"), num_buckets=8)
+    frag = CdcPipeline(spark, frag_table, str(tmp_path / "work_frag"))
+    frag.run_replay(messy_df, epochs_per_batch=EPB)
+    assert frag.pages().count() > pipe.pages().count()
+
+
+def test_key_norm_provenance_refuses_flip(spark, tmp_path, events_df):
+    """The normalization scheme is stamped into the commit log; reopening
+    the table with the OTHER scheme must be refused (it would silently
+    re-key committed rows), while reopening with the SAME scheme works."""
+    pipe = make_pipeline(spark, tmp_path, canonicalize_keys=True)
+    first = int(events_df.agg(F.min("epoch")).collect()[0][0]) // EPB
+    pipe.apply_batch(events_df.filter(F.col("epoch") < (first + 1) * EPB), first)
+
+    with pytest.raises(ValueError, match="key_norm"):
+        CdcPipeline(spark, pipe.table, str(tmp_path / "work2"))
+    # same scheme reopens fine and skips the committed batch
+    again = CdcPipeline(spark, pipe.table, str(tmp_path / "work3"), canonicalize_keys=True)
+    s = again.apply_batch(events_df.filter(F.col("epoch") < (first + 1) * EPB), first)
+    assert s.get("skipped")
+
+    # legacy/exact table: canonical reopen refused once epochs exist
+    t2 = create_pages_table(spark, str(tmp_path / "pages2"), num_buckets=8)
+    p2 = CdcPipeline(spark, t2, str(tmp_path / "w4"))
+    p2.apply_batch(events_df.filter(F.col("epoch") < (first + 1) * EPB), first)
+    with pytest.raises(ValueError, match="key_norm"):
+        CdcPipeline(spark, t2, str(tmp_path / "w5"), canonicalize_keys=True)

@@ -92,3 +92,12 @@ def test_url_canonical_dedup_plan_is_projection_plus_one_exchange(spark, sf_dir)
     assert "Exchange" in plan and plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_count" in plan or "partial_min" in plan, plan
+
+
+def test_canonicalize_is_idempotent(spark):
+    """Canonical output must be a fixed point — the pipeline may
+    normalize at more than one entry point and must not re-key."""
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select(canonicalize_url(F.col("c")).alias("c2"), F.col("c"))
+    assert twice.filter(F.col("c2") != F.col("c")).count() == 0
