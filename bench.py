@@ -73,6 +73,10 @@ HEADLINE = [
     # r5 webtext surface: canonical-url CDC keying and eval-set leakage
     "url_canonical_dedup",
     "decontaminate",
+    # r5 corpus-prep surface: redaction, packing, segment dedup
+    "pii_redact",
+    "segment_dedup",
+    "pack_docs",
 ]
 
 

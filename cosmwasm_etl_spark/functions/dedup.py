@@ -319,3 +319,73 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def segment_windows(text_col, seg_tokens: int = 8):
+    """Segment a document into fixed-width token windows (the corpus has no
+    newline structure; for real web pages pass paragraphs instead — the
+    segmentation rule is a parameter of the op, the dedup below is not).
+
+    Pure Column expression: tokenize once, slice with a TRANSFORM over the
+    window index — zero shuffle, one projection."""
+    toks = tokens(text_col)
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    # guard the empty doc: sequence(0, -1) infers step -1 and yields
+    # [0, -1] — two phantom windows — instead of the empty array
+    return F.when(n_segs > 0, F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def segment_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """CCNet-style corpus-level segment dedup, reported per document.
+
+    A segment instance survives iff it is the corpus-wide FIRST occurrence
+    of its content — ordered by (id, position), the same latest/first-wins
+    shape as the CDC key dedup (W5) applied at sub-document granularity.
+    Returns per document: total segments, kept segments, and an md5 of the
+    kept text (segments rejoined in original order), so the oracle verifies
+    every keep/drop decision byte-for-byte.
+
+    Plan shape at 10^10 docs: one explode (projection), one hash exchange
+    on the segment content for the first-occurrence window — identical
+    cardinality behavior to the exact-dedup digest groupBy; boilerplate
+    segments collapse into single hot keys which the window handles as one
+    partition each (skew-bounded: the window computes only min, no buffer).
+    Reassembly is one groupBy(id) — co-partitioned with the input if the
+    corpus is already id-bucketed.
+    """
+    from pyspark.sql import Window
+
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(segment_windows(F.col(text_col), seg_tokens)).alias("pos", "seg"),
+    )
+    w = Window.partitionBy("seg")
+    first = F.min(F.struct(F.col(id_col), F.col("pos"))).over(w)
+    flagged = segs.withColumn(
+        "kept",
+        (first[id_col] == F.col(id_col)) & (first["pos"] == F.col("pos")),
+    )
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("kept"), F.struct(F.col("pos"), F.col("seg")))
+                )
+            ),
+            lambda s: s["seg"],
+        ),
+        " ",
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_segs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        F.md5(kept_text).alias("kept_md5"),
+    )

@@ -1544,6 +1544,191 @@ FROM c GROUP BY canonical_url
 SQL_URL_CANONICAL_DEDUP = _sql_url_canonical_dedup()
 
 
+def _pii_synth(doc_id):
+    """Deterministic PII footer per document (the fixture text carries no
+    PII, so both sides plant the same strings — the oracle then verifies
+    the redaction regexes value-for-value across dialects). One document
+    in four stays clean as the no-op control."""
+    did = doc_id.cast("string")
+    m = doc_id % 4
+    return (
+        F.when(m == 0, F.concat(F.lit(" contact user"), did, F.lit("@example.org now")))
+        .when(m == 1, F.concat(F.lit(" call +1-555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0"), F.lit(" today")))
+        .when(m == 2, F.concat(
+            F.lit(" server at 10."), (doc_id % 200).cast("string"),
+            F.lit("."), (doc_id % 250).cast("string"),
+            F.lit("."), ((doc_id * 7) % 250).cast("string"), F.lit(" responded")))
+        .otherwise(F.lit(""))
+    )
+
+
+_PII_SYNTH_SQL = """
+CASE CAST(doc_id % 4 AS INT)
+  WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.org now'
+  WHEN 1 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+  WHEN 2 THEN ' server at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id % 250 AS VARCHAR) || '.' || CAST((doc_id * 7) % 250 AS VARCHAR) || ' responded'
+  ELSE ''
+END
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (training-data op): scrub emails / phones / IPv4s to
+    typed placeholder tokens, plus per-kind match counts.
+
+    Plan shape: a pure projection — regexp_replace/regexp_count run inside
+    whole-stage codegen, zero shuffle, one scan at any corpus size. The
+    md5 of the redacted text makes the oracle byte-exact per row.
+    """
+    from cosmwasm_etl_spark.functions.redaction import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.concat(F.col("text"), _pii_synth(F.col("doc_id"))).alias("pii_text")
+    )
+    counts = pii_counts(F.col("pii_text"))
+    return t.select(
+        "doc_id",
+        counts["emails"],
+        counts["phones"],
+        counts["ips"],
+        F.md5(redact_pii(F.col("pii_text"))).alias("clean_md5"),
+    )
+
+
+def _sql_pii_redact() -> str:
+    from cosmwasm_etl_spark.functions.redaction import pii_counts_sql, redact_pii_sql
+
+    c = pii_counts_sql("pii_text")
+    return f"""
+WITH t AS (
+  SELECT doc_id, text || {_PII_SYNTH_SQL} AS pii_text FROM documents
+)
+SELECT doc_id,
+       {c['emails']} AS n_emails,
+       {c['phones']} AS n_phones,
+       {c['ips']} AS n_ips,
+       md5({redact_pii_sql('pii_text')}) AS clean_md5
+FROM t
+"""
+
+
+SQL_PII_REDACT = _sql_pii_redact()
+
+
+_PACK_BUDGET = 1000
+
+
+def q_pack_docs(spark, sf_dir):
+    """Greedy sequence packing: first-fit-in-order bin assignment per
+    source under a fixed character budget (see operators/packing.py for
+    the recurrence and the 10^10-doc parallelization story). The oracle
+    replays the identical recurrence as a DuckDB recursive CTE, so every
+    bin assignment and running fill is verified."""
+    from cosmwasm_etl_spark.operators.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(
+        docs, cost_col="n_chars", budget=_PACK_BUDGET,
+        group_col="source", order_col="doc_id",
+    )
+
+
+SQL_PACK_DOCS = f"""
+WITH RECURSIVE ordered AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+), pack AS (
+  SELECT source, doc_id, rn,
+         0::BIGINT AS bin_id, CAST(n_chars AS BIGINT) AS bin_fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.doc_id, o.rn,
+         CASE WHEN p.bin_fill + o.n_chars > {_PACK_BUDGET} THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + o.n_chars > {_PACK_BUDGET} THEN CAST(o.n_chars AS BIGINT) ELSE p.bin_fill + o.n_chars END
+  FROM pack p JOIN ordered o ON o.source = p.source AND o.rn = p.rn + 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, bin_id, bin_fill FROM pack
+"""
+
+
+def q_segment_dedup(spark, sf_dir):
+    """Corpus-level segment (paragraph) dedup, CCNet-style: a segment
+    survives iff it is the corpus-wide first occurrence of its content.
+    Reported per document with an md5 of the kept text so the oracle
+    checks every keep/drop decision (see functions/dedup.py)."""
+    from cosmwasm_etl_spark.functions.dedup import segment_dedup_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return segment_dedup_stats(docs, text_col="text", id_col="doc_id", seg_tokens=8)
+
+
+SQL_SEGMENT_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0) AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         unnest(list_transform(range(CAST(ceil(len(toks) / 8.0) AS INT)),
+                               i -> array_to_string(toks[i*8+1 : i*8+8], ' '))) AS seg,
+         unnest(range(CAST(ceil(len(toks) / 8.0) AS INT))) AS pos
+  FROM t
+), flagged AS (
+  SELECT doc_id, pos, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1 AS kept
+  FROM s
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_segs,
+       CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+       md5(coalesce(string_agg(seg, ' ' ORDER BY pos) FILTER (WHERE kept), '')) AS kept_md5
+FROM flagged GROUP BY doc_id
+"""
+
+
+_BLOCKED_HOSTS = ["www.site1.example.com", "www.site7.example.com", "site13.example.com"]
+
+
+def q_domain_stats(spark, sf_dir):
+    """Domain-level corpus stats behind a blocklist filter: parse the host
+    from each page URL, drop blocklisted domains with a broadcast
+    left-anti join (blocklists are small dims — never shuffle the corpus
+    for one), aggregate per surviving domain."""
+    from cosmwasm_etl_spark.functions.urls import host_of
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "n_chars", host_of(_url_synth(F.col("doc_id"))).alias("host")
+    )
+    block = spark.createDataFrame([(h,) for h in _BLOCKED_HOSTS], ["host"])
+    kept = t.join(F.broadcast(block), "host", "left_anti")
+    return kept.groupBy("host").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+def _sql_domain_stats() -> str:
+    from cosmwasm_etl_spark.functions.urls import host_sql_expr
+
+    blocked = ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
+    return f"""
+WITH u AS (
+  SELECT doc_id, n_chars, {_URL_SYNTH_SQL} AS url FROM documents
+), h AS (
+  SELECT doc_id, n_chars, {host_sql_expr('url')} AS host FROM u
+)
+SELECT host, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, min(doc_id) AS min_doc_id
+FROM h WHERE host NOT IN ({blocked}) GROUP BY host
+"""
+
+
+SQL_DOMAIN_STATS = _sql_domain_stats()
+
+
 QUERIES = {
     "latest_per_key": q_latest_per_key,
     "first_event_per_key": q_first_event_per_key,
@@ -1565,6 +1750,10 @@ QUERIES = {
     "price_series": q_price_series,
     "exact_dedup_docs": q_exact_dedup_docs,
     "url_canonical_dedup": q_url_canonical_dedup,
+    "pii_redact": q_pii_redact,
+    "pack_docs": q_pack_docs,
+    "segment_dedup": q_segment_dedup,
+    "domain_stats": q_domain_stats,
     "decontaminate": q_decontaminate,
     "cdc_changelog": q_cdc_changelog,
     "cluster_retention": q_cluster_retention,
@@ -1611,6 +1800,10 @@ ORACLES = {
     "price_series": SQL_PRICE_SERIES,
     "exact_dedup_docs": SQL_EXACT_DEDUP_DOCS,
     "url_canonical_dedup": SQL_URL_CANONICAL_DEDUP,
+    "pii_redact": SQL_PII_REDACT,
+    "pack_docs": SQL_PACK_DOCS,
+    "segment_dedup": SQL_SEGMENT_DEDUP,
+    "domain_stats": SQL_DOMAIN_STATS,
     "decontaminate": SQL_DECONTAMINATE,
     "cdc_changelog": SQL_CDC_CHANGELOG,
     "cluster_retention": SQL_CLUSTER_RETENTION,

@@ -500,3 +500,102 @@ def test_decontamination_plan_broadcasts_benchmark(spark, sf_dir):
     plan = q_decontaminate(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_redaction_rules(spark):
+    """Edge semantics of the redactor: typed tokens, order (emails before
+    phones so a phone-shaped local part is consumed by the email rule),
+    idempotence on already-redacted text, and the clean-doc no-op."""
+    from cosmwasm_etl_spark.functions.redaction import pii_counts, redact_pii
+
+    rows = [
+        (0, "mail me at a.b+tag@foo-bar.example.com today"),
+        (1, "dial +1 555 010 9999 or +44-20-7946-0958 now"),
+        (2, "origin 192.168.001.1 and 10.0.0.7"),
+        (3, "nested +15551234567@relay.example.org case"),
+        (4, "no pii here, just 1234 and x@ y.com spaced"),
+        (5, "<EMAIL> already redacted"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r.id: r
+        for r in df.select(
+            "id",
+            redact_pii(F.col("t")).alias("red"),
+            *pii_counts(F.col("t")).values(),
+        ).collect()
+    }
+    assert out[0].red == "mail me at <EMAIL> today"
+    assert out[1].red == "dial <PHONE> or <PHONE> now"
+    assert (out[1].n_phones, out[1].n_emails) == (2, 0)
+    assert out[2].red == "origin <IP> and <IP>"
+    # email rule wins on the nested case -> ONE token, no digits leak
+    assert out[3].red == "nested <EMAIL> case"
+    assert out[4].red == rows[4][1]
+    # idempotent: tokens contain nothing any pattern matches
+    again = spark.createDataFrame([(r.red,) for r in out.values()], ["t"])
+    assert again.filter(redact_pii(F.col("t")) != F.col("t")).count() == 0
+
+
+def test_pack_documents_recurrence(spark):
+    """First-fit-in-order greedy: oversized doc gets its own bin, fill
+    resets on overflow, order is by doc_id within group, and the result
+    is partitioning-invariant (groupBy owns co-location)."""
+    from cosmwasm_etl_spark.operators.packing import pack_documents
+
+    rows = [
+        # source a, budget 100: 60 -> b0(60), 50 -> b1(50), 40 -> b1(90),
+        # 250 oversized -> b2(250), 10 -> b3(10)
+        (1, "a", 60), (2, "a", 50), (3, "a", 40), (4, "a", 250), (5, "a", 10),
+        (6, "b", 100), (7, "b", 1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "cost"])
+    got = {
+        (r.doc_id): (r.bin_id, r.bin_fill)
+        for r in pack_documents(
+            df.repartition(7), cost_col="cost", budget=100,
+            group_col="source", order_col="doc_id",
+        ).collect()
+    }
+    assert got == {
+        1: (0, 60), 2: (1, 50), 3: (1, 90), 4: (2, 250), 5: (3, 10),
+        # b: 100 fills bin 0 exactly; the next 1-cost doc must open bin 1
+        6: (0, 100), 7: (1, 1),
+    }
+    with pytest.raises(ValueError, match="budget"):
+        pack_documents(df, cost_col="cost", budget=0)
+
+
+def test_segment_dedup_first_occurrence_and_empty_doc(spark):
+    """Cross-doc: the earlier (doc_id, pos) instance survives; within-doc
+    repeats collapse too; an empty doc yields no segments (the
+    sequence(0,-1) phantom-window hazard is guarded)."""
+    from cosmwasm_etl_spark.functions.dedup import segment_dedup_stats, segment_windows
+
+    w8 = "one two three four five six seven eight"
+    rows = [
+        (1, w8 + " " + w8),          # second window duplicates the first
+        (2, w8 + " tail words here"),  # window 1 already seen in doc 1
+        (3, ""),                      # empty -> zero segments
+        (4, "tail words here"),        # seen as doc 2's second window
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    segs = df.select(F.size(segment_windows(F.col("text"), 8)).alias("n")).collect()
+    assert [r.n for r in segs] == [2, 2, 0, 1]
+    out = {r.doc_id: r for r in segment_dedup_stats(df, seg_tokens=8).collect()}
+    assert (out[1].n_segs, out[1].n_kept) == (2, 1)
+    assert (out[2].n_segs, out[2].n_kept) == (2, 1)
+    assert 3 not in out  # no segments -> no row, same as the SQL twin
+    assert (out[4].n_segs, out[4].n_kept) == (1, 0)
+
+
+def test_domain_stats_plan_broadcasts_blocklist(spark, sf_dir):
+    """The blocklist join must be a broadcast anti-join — the corpus is
+    never shuffled for a small dim."""
+    from cosmwasm_etl_spark.queries import QUERIES, _BLOCKED_HOSTS
+
+    df = QUERIES["domain_stats"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    hosts = {r.host for r in df.select("host").collect()}
+    assert not (hosts & set(_BLOCKED_HOSTS))
