@@ -87,3 +87,51 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = items[-1][0]
     return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def resample_copies(
+    key: Column,
+    weight: Column,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> Column:
+    """Deterministic weighted resampling: expected ``weight`` copies per row.
+
+    ``floor(weight)`` guaranteed copies plus one more iff the row's hash
+    fraction falls below ``frac(weight)`` — stochastic rounding with the
+    same determinism contract as :func:`split_assign` (pure function of
+    (key, seed); re-runs, re-partitionings and dataset growth never change
+    a row's copy count). This is the source-temperature upsampling step of
+    corpus mixing (weight >1 upsamples, <1 downsamples; 0 drops).
+
+    Returns an int Column; materialize copies with
+    ``F.explode(F.sequence(F.lit(1), n_copies))`` — a projection, no
+    shuffle, and the explode output is what feeds the pack/shuffle stages.
+    """
+    base = F.floor(weight).cast("long")
+    frac_w = weight - F.floor(weight)
+    draw = split_frac(key, seed=seed, hash_family=hash_family)
+    return (base + (draw < frac_w).cast("long")).alias("n_copies")
+
+
+def shard_order(
+    key: Column,
+    n_shards: int = 1024,
+    seed: int = 42,
+    hash_family: str = "xxhash64",
+) -> Column:
+    """Deterministic training-order shard assignment.
+
+    Global shuffling of a 10^10-doc corpus by a single total order is a
+    scale-killer (one sort, one writer tail); the standard shape is
+    sharded: hash each doc to one of ``n_shards`` shards, then order
+    WITHIN shards — every shard is an independent, parallel unit and the
+    concatenation of shards in shard order is the training order. Returns
+    the shard id; pair with a window partitioned by shard (rank by the
+    in-shard hash fraction, then key for tie-stability) for the in-shard
+    position.
+    """
+    frac = split_frac(key, seed=seed, hash_family=hash_family)
+    return F.least(
+        F.floor(frac * F.lit(n_shards)).cast("int"), F.lit(n_shards - 1)
+    ).alias("shard")

@@ -1729,6 +1729,87 @@ FROM h WHERE host NOT IN ({blocked}) GROUP BY host
 SQL_DOMAIN_STATS = _sql_domain_stats()
 
 
+def q_resample_docs(spark, sf_dir):
+    """Deterministic source-temperature resampling (corpus mixing):
+    expected w copies per doc — floor(w) guaranteed plus a stochastically
+    rounded extra, a pure function of (doc_id, seed). The per-source
+    weight is derived from the source string so both engines compute it
+    independently. Zero shuffle: weight + copy count are projections."""
+    from cosmwasm_etl_spark.functions.sampling import resample_copies
+
+    docs = _t(spark, sf_dir, "documents")
+    wt = (
+        (F.ascii(F.col("source").substr(F.length("source"), F.lit(1))) % 4).cast("double")
+        + F.lit(0.25)
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        resample_copies(F.col("doc_id"), wt, hash_family="lcg").alias("n_copies"),
+    )
+
+
+def _sql_resample_docs() -> str:
+    from cosmwasm_etl_spark.functions.sampling import lcg_sql_expr
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(ascii(substr(source, length(source), 1)) % 4 AS DOUBLE) + 0.25 AS wt
+  FROM documents
+)
+SELECT doc_id, source,
+       CAST(floor(wt) AS BIGINT)
+         + CASE WHEN {lcg_sql_expr('doc_id')} < wt - floor(wt) THEN 1 ELSE 0 END AS n_copies
+FROM w
+"""
+
+
+SQL_RESAMPLE_DOCS = _sql_resample_docs()
+
+_SHUFFLE_SHARDS = 64
+
+
+def q_shuffle_order(spark, sf_dir):
+    """Deterministic sharded training order. A single global sort of a
+    10^10-doc corpus is a scale-killer; the standard shape hashes docs to
+    shards and orders within shards (each shard an independent parallel
+    unit; training order = shards concatenated in shard order). The
+    window is partitioned by shard — no global exchange."""
+    from pyspark.sql import Window
+
+    from cosmwasm_etl_spark.functions.sampling import shard_order, split_frac
+
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        split_frac(F.col("doc_id"), hash_family="lcg").alias("frac"),
+    ).withColumn("shard", shard_order(F.col("doc_id"), _SHUFFLE_SHARDS, hash_family="lcg"))
+    w = Window.partitionBy("shard").orderBy("frac", "doc_id")
+    return t.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("shard_pos")
+    )
+
+
+def _sql_shuffle_order() -> str:
+    from cosmwasm_etl_spark.functions.sampling import lcg_sql_expr
+
+    frac = lcg_sql_expr("doc_id")
+    return f"""
+WITH t AS (
+  SELECT doc_id, {frac} AS frac,
+         CAST(least(floor({frac} * {_SHUFFLE_SHARDS}), {_SHUFFLE_SHARDS} - 1) AS INT) AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY frac, doc_id) AS BIGINT) AS shard_pos
+FROM t
+"""
+
+
+SQL_SHUFFLE_ORDER = _sql_shuffle_order()
+
+
 QUERIES = {
     "latest_per_key": q_latest_per_key,
     "first_event_per_key": q_first_event_per_key,
@@ -1754,6 +1835,8 @@ QUERIES = {
     "pack_docs": q_pack_docs,
     "segment_dedup": q_segment_dedup,
     "domain_stats": q_domain_stats,
+    "resample_docs": q_resample_docs,
+    "shuffle_order": q_shuffle_order,
     "decontaminate": q_decontaminate,
     "cdc_changelog": q_cdc_changelog,
     "cluster_retention": q_cluster_retention,
@@ -1804,6 +1887,8 @@ ORACLES = {
     "pack_docs": SQL_PACK_DOCS,
     "segment_dedup": SQL_SEGMENT_DEDUP,
     "domain_stats": SQL_DOMAIN_STATS,
+    "resample_docs": SQL_RESAMPLE_DOCS,
+    "shuffle_order": SQL_SHUFFLE_ORDER,
     "decontaminate": SQL_DECONTAMINATE,
     "cdc_changelog": SQL_CDC_CHANGELOG,
     "cluster_retention": SQL_CLUSTER_RETENTION,

@@ -599,3 +599,44 @@ def test_domain_stats_plan_broadcasts_blocklist(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     hosts = {r.host for r in df.select("host").collect()}
     assert not (hosts & set(_BLOCKED_HOSTS))
+
+
+def test_resample_copies_expectation_and_determinism(spark):
+    """floor(w) guaranteed copies; the extra copy appears at ~frac(w)
+    rate; counts are partitioning-invariant; explode materializes
+    exactly n_copies rows."""
+    from cosmwasm_etl_spark.functions.sampling import resample_copies
+
+    df = spark.range(0, 4000).select(F.col("id").alias("k"))
+    out = df.select("k", resample_copies(F.col("k"), F.lit(2.25)).alias("n"))
+    ns = out.agg(F.min("n"), F.max("n"), F.avg("n")).collect()[0]
+    assert ns[0] == 2 and ns[1] == 3
+    assert abs(ns[2] - 2.25) < 0.05  # stochastic rounding hits the mean
+    again = df.repartition(13).select("k", resample_copies(F.col("k"), F.lit(2.25)).alias("n"))
+    assert out.exceptAll(again).count() == 0
+    total = out.agg(F.sum("n")).collect()[0][0]
+    mat = out.select("k", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("copy"))
+    assert mat.count() == total
+    # weight 0 drops everything
+    zero = df.select(resample_copies(F.col("k"), F.lit(0.0)).alias("n"))
+    assert zero.agg(F.max("n")).collect()[0][0] == 0
+
+
+def test_shard_order_is_sharded_not_global(spark, sf_dir):
+    """Every doc gets a shard in range and a dense in-shard position;
+    the plan's window is partitioned by shard (no single-partition
+    global sort)."""
+    from cosmwasm_etl_spark.queries import QUERIES, _SHUFFLE_SHARDS
+
+    df = QUERIES["shuffle_order"](spark, sf_dir)
+    rows = df.collect()
+    assert {r.shard for r in rows} <= set(range(_SHUFFLE_SHARDS))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # the exchange must be hashpartitioning on shard, not SinglePartition
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shard" in plan, plan
+    assert "SinglePartition" not in plan, plan
