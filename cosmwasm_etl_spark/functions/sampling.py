@@ -105,13 +105,22 @@ def resample_copies(
     corpus mixing (weight >1 upsamples, <1 downsamples; 0 drops).
 
     Returns an int Column; materialize copies with
-    ``F.explode(F.sequence(F.lit(1), n_copies))`` — a projection, no
-    shuffle, and the explode output is what feeds the pack/shuffle stages.
+    ``F.explode(copy_sequence(n_copies))`` — a projection, no shuffle,
+    and the explode output is what feeds the pack/shuffle stages.
     """
     base = F.floor(weight).cast("long")
     frac_w = weight - F.floor(weight)
     draw = split_frac(key, seed=seed, hash_family=hash_family)
     return (base + (draw < frac_w).cast("long")).alias("n_copies")
+
+
+def copy_sequence(n_copies: Column) -> Column:
+    """[1..n] copy indices, EMPTY when n is 0 — ``F.sequence(1, 0)``
+    infers step -1 and yields [1, 0], which an explode would turn into
+    two phantom copies of a dropped row."""
+    return F.when(
+        n_copies > 0, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<bigint>"))
 
 
 def shard_order(

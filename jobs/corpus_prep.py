@@ -26,12 +26,25 @@ recomputed and nothing is collected):
 4. write            — parquet partitioned by split (each split is its own
                       prunable directory for downstream loaders).
 
-Scale shape: exactly one wide exchange (the dedup groupBy); the filter and
-split are projections fused into the same stage; the write needs no
-repartition because partitionBy(split) with 3 values fans out from
-whatever partitioning dedup left (at 100 TB, set --out-partitions to bound
-files per split). The job prints ONE JSON summary line; re-running with
-the same inputs is deterministic byte-for-byte in content (overwrite mode).
+Optional stages complete the training pipeline (each flag documents its
+exchange cost; all default off):
+
+- ``--eval-set``    benchmark decontamination (broadcast semi-join; the
+                    extra exchange carries only contamination hits);
+- ``--redact``      PII scrub to typed tokens (pure projection);
+- ``--resample``    per-source temperature weights — deterministic
+                    expected-w copies per doc (explode projection);
+- ``--shuffle-shards`` deterministic training order as (shard,
+                    shard_pos) — one window exchange partitioned by
+                    shard, never a global sort.
+
+Scale shape: the base plan has exactly one wide exchange (the dedup
+groupBy); the filter and split are projections fused into the same stage;
+the write needs no repartition because partitionBy(split) with 3 values
+fans out from whatever partitioning dedup left (at 100 TB, set
+--out-partitions to bound files per split). The job prints ONE JSON
+summary line; re-running with the same inputs is deterministic
+byte-for-byte in content (overwrite mode).
 """
 
 from __future__ import annotations
@@ -52,13 +65,45 @@ def parse_weights(spec: str) -> dict[str, float]:
     return out
 
 
-def build_corpus_plan(docs, weights: dict[str, float], seed: int):
-    """The full logical plan + its Observation (importable for tests)."""
-    from pyspark.sql import Observation
+def build_corpus_plan(
+    docs,
+    weights: dict[str, float],
+    seed: int,
+    *,
+    eval_set=None,
+    min_overlap: int = 3,
+    redact: bool = False,
+    resample: dict[str, float] | None = None,
+    shuffle_shards: int = 0,
+):
+    """The full logical plan + its Observation (importable for tests).
+
+    Optional stages compose the complete training-corpus pipeline; each
+    states its exchange cost (the base plan keeps exactly one):
+
+    - ``eval_set``: benchmark decontamination — drop docs sharing
+      ≥ ``min_overlap`` distinct 5-gram shingles with the eval set
+      (broadcast semi-join; the one extra exchange carries only hits);
+    - ``redact``: PII scrub on the surviving text (pure projection);
+    - ``resample``: per-source temperature weights (name -> w, with a
+      ``default``) — floor(w) copies + stochastically-rounded extra,
+      materialized by explode(sequence) (projection; ``copy`` joins the
+      doc key downstream);
+    - ``shuffle_shards``: deterministic training order — shard by
+      hash(doc_id, copy), dense rank within shard (one window exchange
+      partitioned by shard; never a global sort).
+    """
+    from pyspark.sql import Observation, Window
     from pyspark.sql import functions as F
 
-    from cosmwasm_etl_spark.functions.dedup import exact_dedup
-    from cosmwasm_etl_spark.functions.sampling import split_assign
+    from cosmwasm_etl_spark.functions.dedup import benchmark_overlap, exact_dedup
+    from cosmwasm_etl_spark.functions.sampling import (
+        copy_sequence,
+        resample_copies,
+        shard_order,
+        split_assign,
+        split_frac,
+    )
     from cosmwasm_etl_spark.functions.text import gopher_quality_ok, repetition_stats
 
     obs_in = Observation("corpus-prep-in")
@@ -67,10 +112,48 @@ def build_corpus_plan(docs, weights: dict[str, float], seed: int):
     stats = repetition_stats(F.col("text"))
     kept = deduped.withColumn("__q_ok", gopher_quality_ok(stats=stats)).filter(
         F.col("__q_ok")
-    )
-    assigned = kept.drop("__q_ok").withColumn(
+    ).drop("__q_ok")
+
+    if eval_set is not None:
+        flagged = benchmark_overlap(kept, eval_set, min_overlap=min_overlap)
+        clean_ids = flagged.filter(~F.col("contaminated")).select("doc_id")
+        kept = kept.join(clean_ids, "doc_id", "left_semi")
+
+    if redact:
+        from cosmwasm_etl_spark.functions.redaction import redact_pii
+
+        kept = kept.withColumn("text", redact_pii(F.col("text")))
+
+    assigned = kept.withColumn(
         "split", split_assign(F.col("doc_id"), weights, seed=seed)
     )
+
+    if resample:
+        default_w = resample.get("default", 1.0)
+        wt = None
+        for name, w in sorted(resample.items()):
+            if name == "default":
+                continue
+            cond = F.col("source") == F.lit(name)
+            wt = F.when(cond, F.lit(w)) if wt is None else wt.when(cond, F.lit(w))
+        wt = F.lit(default_w) if wt is None else wt.otherwise(F.lit(default_w))
+        assigned = assigned.withColumn(
+            "copy",
+            F.explode(copy_sequence(resample_copies(F.col("doc_id"), wt, seed=seed))),
+        )
+    else:
+        assigned = assigned.withColumn("copy", F.lit(1))
+
+    if shuffle_shards:
+        ckey = F.xxhash64(F.col("doc_id"), F.col("copy"))
+        assigned = assigned.withColumn(
+            "shard", shard_order(ckey, shuffle_shards, seed=seed)
+        ).withColumn("__frac", split_frac(ckey, seed=seed))
+        w = Window.partitionBy("split", "shard").orderBy("__frac", "doc_id", "copy")
+        assigned = assigned.withColumn(
+            "shard_pos", F.row_number().over(w).cast("long")
+        ).drop("__frac")
+
     obs = Observation("corpus-prep")
     observed = assigned.observe(
         obs,
@@ -96,6 +179,19 @@ def main() -> None:
         default=None,
         help="repartition before write to bound files per split (100 TB knob)",
     )
+    ap.add_argument("--eval-set", default=None,
+                    help="parquet of benchmark/eval docs; training docs sharing "
+                         "--min-overlap distinct 5-grams with it are dropped")
+    ap.add_argument("--min-overlap", type=int, default=3)
+    ap.add_argument("--redact", action="store_true",
+                    help="scrub emails/IPv4s/phones to typed tokens (projection)")
+    ap.add_argument("--resample", default=None,
+                    help="per-source temperature weights, e.g. "
+                         "'web=0.5,books=2.5,default=1.0' — expected-w copies "
+                         "per doc, deterministic in (doc_id, seed)")
+    ap.add_argument("--shuffle-shards", type=int, default=0,
+                    help="emit deterministic training order as (shard, shard_pos); "
+                         "0 disables")
     args = ap.parse_args()
     weights = parse_weights(args.weights)
 
@@ -104,7 +200,16 @@ def main() -> None:
     spark = build_session(app_name="corpus-prep")
     t0 = time.time()
     docs = spark.read.parquet(args.input)
-    observed, obs_in, obs = build_corpus_plan(docs, weights, args.seed)
+    observed, obs_in, obs = build_corpus_plan(
+        docs,
+        weights,
+        args.seed,
+        eval_set=spark.read.parquet(args.eval_set) if args.eval_set else None,
+        min_overlap=args.min_overlap,
+        redact=args.redact,
+        resample=parse_weights(args.resample) if args.resample else None,
+        shuffle_shards=args.shuffle_shards,
+    )
     if args.out_partitions:
         observed = observed.repartition(args.out_partitions, "doc_id")
     observed.write.mode("overwrite").partitionBy("split").parquet(args.output)

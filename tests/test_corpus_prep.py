@@ -81,3 +81,68 @@ def test_corpus_prep_matches_composed_oracles(spark, tmp_path):
     a = {(r["doc_id"], r["split"]) for r in observed2.select("doc_id", "split").collect()}
     b = {(r["doc_id"], r["split"]) for r in back.select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_corpus_prep_full_composition(spark, tmp_path):
+    """All optional stages on: decontaminate → redact → resample →
+    sharded shuffle. Verifies the contaminated doc is gone, PII is
+    scrubbed, copy counts follow the per-source weights exactly
+    (recomputed independently), and (shard, shard_pos) is a dense
+    deterministic order."""
+    job = _load_job()
+    weights = {"train": 1.0}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(200)
+
+    # eval set = one real doc's text -> that doc must be dropped
+    leak = docs.orderBy("doc_id").limit(1)
+    leak_id = leak.collect()[0]["doc_id"]
+    eval_set = leak.select("doc_id", "text")
+
+    # plant PII in every doc so redaction is observable
+    dirty = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" mail root@evil.example.com"))
+    )
+
+    resample = {"default": 1.0, **{
+        r["source"]: 2.0
+        for r in docs.select("source").distinct().limit(2).collect()
+    }}
+    observed, obs_in, obs = job.build_corpus_plan(
+        dirty, weights, seed=42,
+        eval_set=eval_set, min_overlap=3,
+        redact=True, resample=resample, shuffle_shards=8,
+    )
+    out = str(tmp_path / "corpus_full")
+    observed.write.mode("overwrite").partitionBy("split").parquet(out)
+    back = spark.read.parquet(out)
+
+    assert back.filter(F.col("doc_id") == leak_id).count() == 0
+    assert back.filter(F.col("text").contains("@")).count() == 0
+    assert back.filter(~F.col("text").contains("<EMAIL>")).count() == 0
+
+    # copy counts: recompute the expected counts independently
+    from cosmwasm_etl_spark.functions.sampling import resample_copies
+
+    survivors = back.select("doc_id", "source").distinct()
+    wt = F.when(
+        F.col("source").isin([k for k in resample if k != "default"]), F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    expected = {
+        r["doc_id"]: r["n"]
+        for r in survivors.select(
+            "doc_id", resample_copies(F.col("doc_id"), wt, seed=42).alias("n")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["n"]
+        for r in back.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == expected
+
+    # shard order: dense 1..k positions per (split, shard)
+    groups = {}
+    for r in back.collect():
+        groups.setdefault((r["split"], r["shard"]), []).append(r["shard_pos"])
+    assert groups and all(
+        sorted(v) == list(range(1, len(v) + 1)) for v in groups.values()
+    )

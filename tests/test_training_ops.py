@@ -615,11 +615,20 @@ def test_resample_copies_expectation_and_determinism(spark):
     again = df.repartition(13).select("k", resample_copies(F.col("k"), F.lit(2.25)).alias("n"))
     assert out.exceptAll(again).count() == 0
     total = out.agg(F.sum("n")).collect()[0][0]
-    mat = out.select("k", F.explode(F.sequence(F.lit(1), F.col("n"))).alias("copy"))
+    from cosmwasm_etl_spark.functions.sampling import copy_sequence
+
+    mat = out.select("k", F.explode(copy_sequence(F.col("n"))).alias("copy"))
     assert mat.count() == total
     # weight 0 drops everything
     zero = df.select(resample_copies(F.col("k"), F.lit(0.0)).alias("n"))
     assert zero.agg(F.max("n")).collect()[0][0] == 0
+    # downsampling weight: zero-copy rows vanish with NO phantom copies
+    # (sequence(1,0) would yield [1,0] unguarded) and the total matches
+    down = df.select("k", resample_copies(F.col("k"), F.lit(0.25)).alias("n"))
+    dtotal = down.agg(F.sum("n")).collect()[0][0]
+    dmat = down.select("k", F.explode(copy_sequence(F.col("n"))).alias("copy"))
+    assert dmat.count() == dtotal
+    assert 0 < dtotal < 4000 * 0.35
 
 
 def test_shard_order_is_sharded_not_global(spark, sf_dir):
