@@ -73,10 +73,12 @@ HEADLINE = [
     # r5 webtext surface: canonical-url CDC keying and eval-set leakage
     "url_canonical_dedup",
     "decontaminate",
-    # r5 corpus-prep surface: redaction, packing, segment dedup
+    # r5 corpus-prep surface: redaction, packing, segment dedup, mixing
     "pii_redact",
     "segment_dedup",
     "pack_docs",
+    "resample_docs",
+    "shuffle_order",
 ]
 
 

@@ -315,3 +315,33 @@ def test_stream_refuses_mismatched_id_scheme(spark, tmp_path):
     (ckpt / "commit_id_scheme.json").write_text(json.dumps({"stride": 1}))
     with pytest.raises(ValueError, match="commit-id"):
         run_stream_available_now(spark, pipe, log_dir, str(ckpt))
+
+
+def test_stream_canonical_keys_end_to_end(spark, tmp_path):
+    """Canonical-key pipelines work unchanged through the streaming
+    front-end: messy URL spellings arriving across micro-batches collapse
+    to one key, the audit holds on the raw log, and a restart under the
+    other normalization is refused."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    events = synthetic_events(spark, 6_000, n_urls=500, events_per_epoch=1_000)
+    messy = events.withColumn(
+        "url",
+        F.when(F.pmod("seq", F.lit(3)) == 1, F.concat(F.col("url"), F.lit("?utm_source=x#f")))
+        .otherwise(F.col("url")),
+    )
+    log_dir = str(tmp_path / "events")
+    write_event_log(messy, log_dir, range_partitions=4)
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=8)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"), canonicalize_keys=True)
+    run_stream_available_now(spark, pipe, log_dir, str(tmp_path / "ckpt"), max_files_per_trigger=2)
+    assert pipe.audit(spark.read.parquet(log_dir)).count() == 0
+    # the ?utm_source variants collapsed: one row per CLEAN url key
+    urls = [r.url for r in pipe.pages().select("url").collect()]
+    assert len(urls) == len(set(urls))
+    assert not any("utm_source" in u for u in urls)
+
+    with pytest.raises(ValueError, match="key_norm"):
+        CdcPipeline(spark, table, str(tmp_path / "work2"))
