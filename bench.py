@@ -342,7 +342,12 @@ def _cdc_only(
             extractor=extractor, winner_mode=winner_mode,
         )))
     finally:
-        s.stop()
+        try:
+            s.stop()
+        except Exception:
+            # best-effort: a dead JVM must not turn a printed measurement
+            # into a non-zero exit
+            pass
 
 
 def _cdc_single(
@@ -409,7 +414,12 @@ def _cdc_single(
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
-        s.stop()
+        try:
+            s.stop()
+        except Exception:
+            # best-effort: a dead JVM must not turn a printed measurement
+            # into a non-zero exit
+            pass
 
 
 def F_seq_mod_2():
@@ -757,7 +767,10 @@ def main() -> None:
             n_stream = int(os.environ.get("SPARK_GRAFT_STREAM_AB_EVENTS", "500000"))
             out["stream_state_ab"] = run_stream_state_ab(spark, n_stream)
     finally:
-        spark.stop()
+        try:
+            spark.stop()
+        except Exception:
+            pass
 
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         # Two pinned N-vs-4N pairs: 4v16 sits BELOW this host's ~8-worker

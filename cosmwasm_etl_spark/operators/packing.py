@@ -44,6 +44,7 @@ def pack_documents(
     budget: int,
     group_col: str = "source",
     order_col: str = "doc_id",
+    n_shards: int = 1,
 ) -> DataFrame:
     """Assign ``bin_id`` per group by first-fit-in-order greedy packing.
 
@@ -51,14 +52,26 @@ def pack_documents(
     the running fill AFTER placing the row, so the final row of each bin
     carries the bin's total cost (handy for packing-efficiency stats and
     it makes every step of the recurrence oracle-checkable).
+
+    ``n_shards > 1`` is the 10^10-doc path: the packing unit becomes
+    (group, xxhash64(order_col) % n_shards) — parallelism × n_shards and
+    every pandas group is bounded at ~|group|/n_shards rows, at the cost
+    of (n_shards − 1) extra partially-filled final bins per group.
+    Deterministic: the shard of a row is a pure function of its key, so
+    assignments never move between runs or cluster sizes. Shards pack
+    independently; bin ids are made globally unique per group as
+    ``shard + bin_within_shard * n_shards``.
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     out_schema = (
         f"{order_col} long, {group_col} string, bin_id long, bin_fill long"
     )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
         pdf = pdf.sort_values(order_col, kind="mergesort")
         costs = pdf[cost_col].to_numpy()
         bins = []
@@ -71,7 +84,7 @@ def pack_documents(
                 fill = c
             else:
                 fill += c
-            bins.append(bin_id)
+            bins.append(shard + bin_id * n_shards)
             fills.append(fill)
         return pd.DataFrame(
             {
@@ -86,5 +99,6 @@ def pack_documents(
         F.col(order_col).cast("long").alias(order_col),
         F.col(group_col),
         F.col(cost_col),
+        F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_shards)).alias("__shard"),
     )
-    return sel.groupBy(group_col).applyInPandas(_pack, schema=out_schema)
+    return sel.groupBy(group_col, "__shard").applyInPandas(_pack, schema=out_schema)

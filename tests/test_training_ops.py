@@ -649,3 +649,42 @@ def test_shard_order_is_sharded_not_global(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(shard" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_pack_documents_sharded(spark):
+    """n_shards > 1 (the 10^10-doc path): rows pack independently per
+    (group, shard); bin ids stay disjoint across shards (mod classes);
+    the recurrence holds within each shard; results are deterministic
+    under repartitioning."""
+    from cosmwasm_etl_spark.operators.packing import pack_documents
+
+    rows = [(i, "s", 40 + (i * 13) % 50) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "cost"])
+    out = pack_documents(
+        df, cost_col="cost", budget=120, group_col="source",
+        order_col="doc_id", n_shards=4,
+    ).collect()
+    assert len(out) == 200
+    assert {r.bin_id % 4 for r in out} == {0, 1, 2, 3}
+    # replay the recurrence per shard
+    cost = {i: c for i, _, c in rows}
+    by_shard = {}
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.bin_id % 4, []).append(r)
+    for shard, rs in by_shard.items():
+        fill, bin_seq = 120, -1
+        for r in rs:
+            c = cost[r.doc_id]
+            if fill + c > 120:
+                bin_seq, fill = bin_seq + 1, c
+            else:
+                fill += c
+            assert r.bin_id == shard + bin_seq * 4, (shard, r)
+            assert r.bin_fill == fill, (shard, r)
+    again = pack_documents(
+        df.repartition(11), cost_col="cost", budget=120,
+        group_col="source", order_col="doc_id", n_shards=4,
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_documents(df, cost_col="cost", budget=10, n_shards=0)
