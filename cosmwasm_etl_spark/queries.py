@@ -1105,16 +1105,19 @@ FROM ranked WHERE rank <= 5
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact baseline; the
-    LSH-bucketed scale path is cosine_near_dups_lsh, recall-tested in
-    pytest)."""
-    from cosmwasm_etl_spark.functions.similarity import cosine_near_dups
+    """Embedding-cosine near-duplicate pairs — EXACT, via the blocked-GEMM
+    engine (one numpy float64 matmul per block-pair tile instead of an
+    interpreted per-pair expression fold: 20.9 s → 0.8 s at 5k vectors,
+    output equal pair-for-pair to the column-expression baseline — pinned
+    in pytest — and to the DuckDB oracle). The LSH-bucketed sub-quadratic
+    path is cosine_near_dups_lsh, recall-tested in pytest."""
+    from cosmwasm_etl_spark.functions.similarity import cosine_near_dups_blocked
 
     emb = _t(spark, sf_dir, "embeddings")
     corpus = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
     )
-    out = cosine_near_dups(corpus, threshold=0.4)
+    out = cosine_near_dups_blocked(corpus, threshold=0.4, n_blocks=8)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 

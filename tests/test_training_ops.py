@@ -688,3 +688,28 @@ def test_pack_documents_sharded(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
     with pytest.raises(ValueError, match="n_shards"):
         pack_documents(df, cost_col="cost", budget=10, n_shards=0)
+
+
+def test_blocked_gemm_equals_column_near_dups(spark, sf_dir):
+    """The blocked-GEMM exact engine must produce pair-for-pair identical
+    output to the column-expression baseline (same ids, same rounded
+    cosines) — including on a corpus slice whose size is not divisible by
+    the block count, and with more blocks than rows."""
+    from cosmwasm_etl_spark.functions.similarity import (
+        cosine_near_dups,
+        cosine_near_dups_blocked,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    base = sorted(map(tuple, cosine_near_dups(emb, threshold=0.4).collect()))
+    assert base, "fixture should contain near-dup pairs at 0.4"
+    for n_blocks in (1, 3, 8):
+        got = sorted(map(tuple, cosine_near_dups_blocked(emb, 0.4, n_blocks=n_blocks).collect()))
+        assert got == base, f"n_blocks={n_blocks}"
+    # more blocks than rows in a tiny slice; threshold -1 keeps ALL pairs
+    tiny = emb.limit(5)
+    tb = sorted(map(tuple, cosine_near_dups(tiny, threshold=-1.0).collect()))
+    tg = sorted(map(tuple, cosine_near_dups_blocked(tiny, -1.0, n_blocks=16).collect()))
+    assert tb == tg and len(tb) == 10
