@@ -38,8 +38,16 @@ ACCEPT_BW = 2.5
 # physical ceiling.
 CPU_SANE_MAX = 1.05
 BW_SANE_MAX = 20.0
-SMALL, LARGE = 4, 16
-N_EVENTS = 8_000_000
+# Pair override (pre-registered per probe file before it is started):
+# SMALL:LARGE via SPARK_GRAFT_PROBE_PAIR (default the standing 4:16).
+# A 2:8 pair is equally valid under the north rule (N→4N) and keeps the
+# LARGE level at a quarter of this 32-core host, below the ~8-worker
+# memory-bus saturation knee BENCH.md documents — on a real N→4N cluster
+# every executor brings its own bus, so a pair whose large level saturates
+# the single shared bus measures the box, not the engine.
+_pair = os.environ.get("SPARK_GRAFT_PROBE_PAIR", "4:16").split(":")
+SMALL, LARGE = int(_pair[0]), int(_pair[1])
+N_EVENTS = int(os.environ.get("SPARK_GRAFT_PROBE_EVENTS", "8000000"))
 
 
 def main() -> None:
@@ -49,7 +57,7 @@ def main() -> None:
 
     # pre-generate the shared event log once so gated windows are spent on
     # the measured apply, not generation
-    events_dir = "/dev/shm/spark_graft/probe_events_8m_b12"
+    events_dir = f"/dev/shm/spark_graft/probe_events_{N_EVENTS // 1_000_000}m_b12"
     if not os.path.exists(os.path.join(events_dir, "_SUCCESS")):
         s = bench.make_session(32)
         try:
@@ -63,7 +71,11 @@ def main() -> None:
         "probe": probe_no,
         "pair": f"{SMALL}:{LARGE}",
         "n_events": N_EVENTS,
-        "config": "per-core heap 2g/8g, AQE off, fresh pinned JVM per run, pre-generated shared event log",
+        "config": (
+            f"pair {SMALL}:{LARGE} (pre-registered; large level at {LARGE}/32 host cores), "
+            "per-core heap (0.5g/core, floor 2g cap 8g), AQE off, fresh pinned JVM per run, "
+            "pre-generated shared event log"
+        ),
         "protocol": (
             f"replication probe; rules pre-registered before any window was polled: "
             f"run-trigger cpu_eff >= {TRIGGER_CPU} and bw_large >= {ACCEPT_BW}; "
