@@ -178,6 +178,32 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 32, n
     return base.select("id", *cols)
 
 
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band_0..band_{bands-1}) banded minhash — each band is the
+    xxhash64 of its r = k/bands signature rows, so two documents collide on
+    band b iff all r of that band's minhashes agree (the classic S-curve
+    knob). Pure projection, zero shuffle — shared by the batch LSH pass
+    (:func:`minhash_lsh_pairs`) and the ingest-time index
+    (:class:`cosmwasm_etl_spark.operators.ingest_dedup.IngestNearDupIndex`),
+    which must agree band-for-band for the index's replay-equivalence
+    invariant to hold."""
+    r = k // bands
+    sig = minhash_signatures(df, text_col, id_col, k=k, n=n, seed=seed)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return sig.select("id", *band_cols)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -194,13 +220,7 @@ def minhash_lsh_pairs(
     recall ≥ .97 at jaccard .8. Candidate generation is groupBy(band,hash) —
     one shuffle over |docs|·bands rows; verification touches only candidates.
     """
-    r = k // bands
-    sig = minhash_signatures(df, text_col, id_col, k=k, n=n, seed=seed)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select("id", *band_cols)
+    banded = minhash_bands(df, text_col, id_col, n=n, k=k, bands=bands, seed=seed)
     stacked = banded.select(
         "id",
         F.explode(
