@@ -182,3 +182,42 @@ def test_stratified_sample_filter_is_zero_shuffle(spark, sf_dir):
     plan = _plan(q_stratified_sample(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ingest_dedup_candidates_corpus_never_shuffles(spark, tmp_path):
+    """The ingest-time near-dup index's candidate join must broadcast the
+    BATCH side: the corpus (index + pages scans) streams map-side with no
+    Exchange before the joins — at 10^10 pages a corpus shuffle per
+    micro-batch is the plan that doesn't survive scale."""
+    import datetime as dt
+
+    from cosmwasm_etl_spark.operators.ingest_dedup import IngestNearDupIndex
+    from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
+    from cosmwasm_etl_spark.sources.eventlog import EVENT_SCHEMA
+
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=4)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"))
+    idx = IngestNearDupIndex(spark, str(tmp_path / "idx"), pipe.pages, num_buckets=4)
+    pipe.post_commit = idx.advance
+    rows = [
+        (i, 0, "insert", f"https://e.example/{i}", dt.datetime(2026, 1, 1, 0, i),
+         f"doc {i} words one two three four five six seven eight nine ten".encode(), "en")
+        for i in range(1, 6)
+    ]
+    pipe.run_replay(spark.createDataFrame(rows, EVENT_SCHEMA), epochs_per_batch=1)
+
+    new_live = idx.index().limit(2).select("url", *[f"band_{b}" for b in range(idx.bands)])
+    plan = _plan(idx._candidates(new_live))
+    # every join keyed on (band, h) must be broadcast — never sort-merge or
+    # shuffled-hash (those exchange the corpus side)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # the only exchange allowed is the final pair-level distinct (candidate-
+    # sized); nothing may hash-partition on the (band, h) join keys — that
+    # would be the corpus shuffling into the join
+    import re
+
+    for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "band" not in part and not part.startswith("h#"), part
+        assert "url_a" in part or "url_b" in part, part
