@@ -303,6 +303,70 @@ def run_stream_state_ab(spark, n_events: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def run_ingest_dedup_ab(spark, n_events: int) -> dict:
+    """Cost of near-dup detection AT INGEST: the same replay over one shared
+    log, with and without the IngestNearDupIndex advancing per batch via
+    post_commit (operators/ingest_dedup.py). Reported as throughput both
+    ways + overhead pct — the number that tells a user what dedup-at-ingest
+    costs versus running the batch LSH pass per crawl snapshot."""
+    from cosmwasm_etl_spark.operators.ingest_dedup import IngestNearDupIndex
+    from cosmwasm_etl_spark.plans.pipeline import CdcPipeline, create_pages_table
+    from cosmwasm_etl_spark.session import warm_python_workers
+
+    stage_root = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/dev/shm/spark_graft")
+    os.makedirs(stage_root, exist_ok=True)
+    work = tempfile.mkdtemp(prefix="bench_idx_", dir=stage_root)
+    try:
+        events_dir = gen_event_log(
+            spark, n_events, SCALING_BODY_WORDS, os.path.join(work, "events")
+        )
+        events = spark.read.parquet(events_dir)
+        warm_python_workers(spark)
+
+        def one(with_index: bool, i: int) -> dict:
+            table = create_pages_table(
+                spark, os.path.join(work, f"pages{i}"), num_buckets=max(CPUS, 16)
+            )
+            pipe = CdcPipeline(
+                spark, table, os.path.join(work, f"w{i}"),
+                sink_mode="mor", quarantine_mode="deferred",
+            )
+            idx = None
+            if with_index:
+                idx = IngestNearDupIndex(
+                    spark, os.path.join(work, f"idx{i}"), pipe.pages,
+                    pages_for_fn=pipe.pages_for, num_buckets=max(CPUS, 16),
+                )
+                pipe.post_commit = idx.advance
+            t0 = time.time()
+            pipe.run_replay(events, epochs_per_batch=5)
+            dt = time.time() - t0
+            out = {"seconds": round(dt, 3), "events_per_sec": round(n_events / dt, 1)}
+            if idx is not None:
+                out["pairs_logged"] = idx.near_dups().count()
+                out["index_rows"] = idx.index().count()
+            return out
+
+        # interleaved best-of-2 per variant (same de-noising as the CDC A/B)
+        best: dict[str, dict] = {}
+        for rep in range(2):
+            for name, flag in (("baseline", False), ("indexed", True)):
+                r = one(flag, rep * 2 + int(flag))
+                cur = best.get(name)
+                if cur is None or r["events_per_sec"] > cur["events_per_sec"]:
+                    best[name] = r
+        return {
+            "n_events": n_events,
+            **{f"{k}_{m}": v for k, d in best.items() for m, v in d.items()},
+            "overhead_pct": round(
+                100.0 * (best["baseline"]["events_per_sec"] / best["indexed"]["events_per_sec"] - 1.0),
+                1,
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def run_queries(spark) -> dict[str, float]:
     from cosmwasm_etl_spark.queries import QUERIES
 
@@ -766,6 +830,9 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_SKIP_STREAM_AB") != "1":
             n_stream = int(os.environ.get("SPARK_GRAFT_STREAM_AB_EVENTS", "500000"))
             out["stream_state_ab"] = run_stream_state_ab(spark, n_stream)
+        if os.environ.get("SPARK_GRAFT_SKIP_INGEST_DEDUP_AB") != "1":
+            n_idx = int(os.environ.get("SPARK_GRAFT_INGEST_DEDUP_EVENTS", "200000"))
+            out["ingest_dedup_ab"] = run_ingest_dedup_ab(spark, n_idx)
     finally:
         try:
             spark.stop()

@@ -312,6 +312,20 @@ class LakeTable:
             return self.spark.createDataFrame([], st.schema.to_spark())
         return self._read_entries(list(st.files.values()), st)
 
+    def read_buckets(self, buckets, version: int | None = None) -> DataFrame:
+        """Snapshot read restricted to a bucket subset — the point-lookup /
+        keyed-subset path: a reader that knows its keys' buckets skips every
+        other bucket's files entirely (the same file-skipping MERGE uses on
+        the write side). At the 10^10 design point this is the difference
+        between a per-batch corpus scan and a read bounded by the batch's
+        key spread."""
+        st = self.state(version)
+        wanted = set(buckets)
+        entries = [e for e in st.files.values() if e["bucket"] in wanted]
+        if not entries:
+            return self.spark.createDataFrame([], st.schema.to_spark())
+        return self._read_entries(entries, st)
+
     def _read_entries(self, entries: list[dict], st: TableState) -> DataFrame:
         """Scan a file-entry subset, grouped by schema version (one parquet
         scan per group — predicate pushdown + column pruning intact), each

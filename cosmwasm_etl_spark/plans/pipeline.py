@@ -627,6 +627,28 @@ class CdcPipeline:
     # alias kept for clarity in evolution tests
     pages_evolved = pages
 
+    def pages_for(self, urls: DataFrame) -> DataFrame:
+        """Live pages for a bounded url set — the keyed-subset read.
+
+        Two scale properties :meth:`pages` cannot give a point lookup:
+        only the buckets containing the requested urls are read
+        (file-level skipping via the commit log's bucket metadata), and
+        the MOR latest-wins resolution runs AFTER the key filter, over the
+        matched rows only — never over the corpus. The bucket set is one
+        tiny driver-side collect (≤ num_buckets ints), the same bookkeeping
+        MERGE derives from its staged batch."""
+        st = self.table.state()
+        buckets = [
+            r["b"]
+            for r in urls.select(
+                self.table._bucket_expr("url", st.num_buckets).alias("b")
+            ).distinct().collect()
+        ]
+        df = self.table.read_buckets(buckets).join(F.broadcast(urls.select("url")), "url")
+        df = self._resolve_latest(df)
+        out_cols = [c for c in df.columns if c != "deleted"]
+        return df.filter(~F.col("deleted")).select(*out_cols)
+
     def vacuum_tombstones(self, older_than_ts: str, epoch: int | None = None) -> dict:
         """Retention pass (S12 analog): physically drop tombstones older than
         the given timestamp — safe once no replay can deliver events older

@@ -68,10 +68,13 @@ def events_df(spark):
     df.unpersist()
 
 
-def _mk(spark, tmp_path):
+def _mk(spark, tmp_path, keyed_read: bool = True):
     table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=4)
     pipe = CdcPipeline(spark, table, str(tmp_path / "work"))
-    idx = IngestNearDupIndex(spark, str(tmp_path / "idx"), pipe.pages, num_buckets=4)
+    idx = IngestNearDupIndex(
+        spark, str(tmp_path / "idx"), pipe.pages,
+        pages_for_fn=pipe.pages_for if keyed_read else None, num_buckets=4,
+    )
     pipe.post_commit = idx.advance
     return pipe, idx
 
@@ -80,8 +83,9 @@ def _pairs(df, a: str = "url_a", b: str = "url_b") -> set[tuple[str, str]]:
     return {(r[a], r[b]) for r in df.select(a, b).collect()}
 
 
-def test_replay_equivalence_and_detection(spark, tmp_path, events_df):
-    pipe, idx = _mk(spark, tmp_path)
+@pytest.mark.parametrize("keyed_read", [True, False], ids=["bucket-pruned", "full-scan"])
+def test_replay_equivalence_and_detection(spark, tmp_path, events_df, keyed_read):
+    pipe, idx = _mk(spark, tmp_path, keyed_read=keyed_read)
     pipe.run_replay(events_df, epochs_per_batch=1)
 
     # invariant 1: live index == minhash_bands(final live pages), exactly

@@ -207,7 +207,8 @@ def test_ingest_dedup_candidates_corpus_never_shuffles(spark, tmp_path):
     pipe.run_replay(spark.createDataFrame(rows, EVENT_SCHEMA), epochs_per_batch=1)
 
     new_live = idx.index().limit(2).select("url", *[f"band_{b}" for b in range(idx.bands)])
-    plan = _plan(idx._candidates(new_live))
+    vs_corpus, vs_new = idx._candidates(new_live)
+    plan = _plan(vs_corpus) + _plan(vs_new)
     # every join keyed on (band, h) must be broadcast — never sort-merge or
     # shuffled-hash (those exchange the corpus side)
     assert "BroadcastHashJoin" in plan
@@ -220,4 +221,4 @@ def test_ingest_dedup_candidates_corpus_never_shuffles(spark, tmp_path):
 
     for part in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
         assert "band" not in part and not part.startswith("h#"), part
-        assert "url_a" in part or "url_b" in part, part
+        assert "url_n" in part or "url_c" in part or "url_b" in part, part
