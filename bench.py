@@ -878,7 +878,39 @@ def main() -> None:
     out["metric"] = "cdc_apply_events_per_sec_plus_headline_queries"
     out["unit"] = "sec"
     out["value"] = round(sum(out["queries"].values()) + out["cdc"]["seconds"], 3)
-    print(json.dumps(out))
+
+    # The driver captures only the last ~2000 chars of stdout and parses the
+    # final line as JSON (BENCH_r04.json recorded `parsed: null` because the
+    # full result line overflowed that window). Print a COMPACT final line
+    # and park the complete detail in a sidecar the judge can open.
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local_full.json"
+    )
+    with open(full_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    compact: dict = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": out["queries"],
+        "cdc_eps_peak": out["cdc"].get("events_per_sec_peak")
+        or out["cdc"].get("events_per_sec"),
+        "detail": os.path.basename(full_path),
+    }
+    sc = out.get("scaling")
+    if sc:
+        compact["scaling"] = {
+            k: sc.get(k)
+            for k in ("cores_small", "cores_large", "eps_small", "eps_large", "efficiency")
+        }
+        if sc.get("on_record"):
+            compact["scaling"]["on_record"] = sc["on_record"]
+    line = json.dumps(compact)
+    if len(line) > 1900:  # belt-and-braces: drop per-query detail before overflowing
+        compact["queries"] = {"total_sec": round(sum(out["queries"].values()), 3)}
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
