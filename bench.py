@@ -467,14 +467,17 @@ def _cdc_single(
         half = events.filter(F_seq_mod_2())  # deterministic half for warm-up
         mk(0).apply_batch(half, 0)
         pipe = mk(1)
+        acct0 = _cpu_accounting()
         t0 = time.time()
         pipe.apply_batch(events, 0)
         dt = time.time() - t0
+        acct = _cpu_accounting_delta(acct0, dt, cores)
         print(json.dumps({
             "n_events": n_events,
             "seconds": round(dt, 3),
             "events_per_sec": round(n_events / dt, 1),
             "single_apply": True,
+            **acct,
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -484,6 +487,82 @@ def _cdc_single(
             # best-effort: a dead JVM must not turn a printed measurement
             # into a non-zero exit
             pass
+
+
+def _proc_tree_cpu_s() -> float:
+    """CPU seconds consumed so far by this process and ALL live descendants
+    (the py4j JVM, pyspark.daemon, Arrow workers) — /proc walk, no psutil.
+    Dead-and-reaped children are missed, which is fine for bracketing a
+    window in which the tree is stable (the measured apply)."""
+    me = os.getpid()
+    ppid_of: dict[int, int] = {}
+    cpu_of: dict[int, float] = {}
+    hz = os.sysconf("SC_CLK_TCK")
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as fh:
+                s = fh.read()
+        except OSError:
+            continue
+        # comm can contain spaces/parens: fields after the LAST ')'
+        rest = s[s.rindex(")") + 2:].split()
+        ppid_of[int(d)] = int(rest[1])  # field 4
+        cpu_of[int(d)] = (int(rest[11]) + int(rest[12])) / hz  # utime+stime
+    total = 0.0
+    for pid, cpu in cpu_of.items():
+        p = pid
+        for _ in range(64):  # ancestor chain walk, cycle-bounded
+            if p == me:
+                total += cpu
+                break
+            p = ppid_of.get(p, 0)
+            if p <= 1:
+                break
+    return total
+
+
+def _host_busy_s() -> tuple[float, float]:
+    """(host-wide non-idle CPU seconds, hypervisor steal seconds), all
+    cores summed, from /proc/stat. ``steal`` is the direct co-tenant
+    signal on a VM: vCPU runnable but not scheduled by the hypervisor."""
+    with open("/proc/stat") as fh:
+        f = fh.readline().split()[1:]
+    hz = os.sysconf("SC_CLK_TCK")
+    vals = [int(x) for x in f[:8]]
+    idle = vals[3] + vals[4]  # idle + iowait
+    return (sum(vals) - idle) / hz, vals[7] / hz
+
+
+def _cpu_accounting():
+    return (_proc_tree_cpu_s(), _host_busy_s())
+
+
+def _cpu_accounting_delta(before, wall_s: float, cores: int) -> dict:
+    """In-run contention accounting for a measured window.
+
+    - ``cpu_share``: fraction of the pinned budget (cores x wall) the
+      engine's own process tree actually executed. Co-tenant CPU steal
+      shows up here directly; a memory-bandwidth stall does NOT (cores
+      stay busy while IPC collapses), so the two low-throughput causes
+      are separable.
+    - ``host_busy_frac``: host-wide busy fraction of all 32 cores over
+      the same window — co-tenant load is visible as
+      host_busy >> tree_cpu."""
+    try:
+        tree0, (host0, steal0) = before
+        tree = _proc_tree_cpu_s() - tree0
+        host1, steal1 = _host_busy_s()
+        host = host1 - host0
+        return {
+            "cpu_share": round(tree / (cores * wall_s), 3) if wall_s > 0 else None,
+            "host_busy_frac": round(host / (32 * wall_s), 3) if wall_s > 0 else None,
+            "cotenant_cores": round(max(host - tree, 0.0) / wall_s, 1),
+            "steal_frac": round((steal1 - steal0) / (32 * wall_s), 3) if wall_s > 0 else None,
+        }
+    except Exception as e:  # /proc quirk — report, never fail a measurement
+        return {"cpu_share_err": str(e)[:120]}
 
 
 def F_seq_mod_2():
