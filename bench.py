@@ -837,6 +837,31 @@ def _best_on_record_pair() -> dict | None:
     return best
 
 
+def _longrun_pooled_on_record() -> dict | None:
+    """Latest completed long-run interleaved-pairs estimate (probe 10+
+    protocol, `scripts/scaling_longrun.py`): `final.all_blocks` from the
+    newest probe file that carries one, with provenance."""
+    import glob as _glob
+
+    best: dict | None = None
+    for path in sorted(_glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*_scaling_probe*.json"))):
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+        except Exception:
+            continue
+        fin = d.get("final")
+        if isinstance(fin, dict) and isinstance(fin.get("all_blocks"), dict):
+            best = {
+                **fin["all_blocks"],
+                "pair": d.get("pair"),
+                "source": os.path.basename(path),
+                "estimator": "pooled mean over ungated interleaved pairs",
+            }
+    return best
+
+
 def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--cdc-only":
         body = int(sys.argv[4]) if len(sys.argv) >= 5 else None
@@ -953,6 +978,12 @@ def main() -> None:
             # in whatever window the driver happens to run in, so the
             # on-record number with provenance is reported alongside it
             out["scaling"]["on_record"] = rec
+        lr = _longrun_pooled_on_record()
+        if lr:
+            # the averaging-protocol estimate (probe 10+): pooled over many
+            # interleaved ungated pairs — the phase-distribution average, as
+            # opposed to the gated pair above (the clean-window point value)
+            out["scaling"]["longrun_pooled"] = lr
 
     out["metric"] = "cdc_apply_events_per_sec_plus_headline_queries"
     out["unit"] = "sec"
@@ -985,6 +1016,12 @@ def main() -> None:
         }
         if sc.get("on_record"):
             compact["scaling"]["on_record"] = sc["on_record"]
+        if sc.get("longrun_pooled"):
+            compact["scaling"]["longrun_pooled"] = {
+                k: sc["longrun_pooled"].get(k)
+                for k in ("pooled_efficiency", "median_block_efficiency",
+                          "n_blocks", "source")
+            }
     line = json.dumps(compact)
     if len(line) > 1900:  # belt-and-braces: drop per-query detail before overflowing
         compact["queries"] = {"total_sec": round(sum(out["queries"].values()), 3)}
