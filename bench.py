@@ -856,6 +856,7 @@ def _longrun_pooled_on_record() -> dict | None:
             best = {
                 **fin["all_blocks"],
                 "pair": d.get("pair"),
+                "framing": fin.get("framing", "strong (same input both levels)"),
                 "source": os.path.basename(path),
                 "estimator": "pooled mean over ungated interleaved pairs",
             }
@@ -1020,7 +1021,7 @@ def main() -> None:
             compact["scaling"]["longrun_pooled"] = {
                 k: sc["longrun_pooled"].get(k)
                 for k in ("pooled_efficiency", "median_block_efficiency",
-                          "n_blocks", "source")
+                          "n_blocks", "framing", "source")
             }
     line = json.dumps(compact)
     if len(line) > 1900:  # belt-and-braces: drop per-query detail before overflowing
