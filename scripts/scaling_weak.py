@@ -36,6 +36,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -49,6 +50,10 @@ N_BASE = int(os.environ.get("SPARK_GRAFT_PROBE_EVENTS", "8000000"))
 RATIO = LARGE // SMALL
 N_LARGE = N_BASE * RATIO
 ACCEPT_CPU, ACCEPT_BW = 0.9, 2.5  # standing r4 gate — exploratory subset only
+# Optional idle gap between blocks: stretches the run across a wider slice
+# of the host's phase distribution (phases last minutes to hours — BENCH.md
+# forensics). Registered in the artifact; never changes which blocks count.
+SLEEP_S = int(os.environ.get("SPARK_GRAFT_PROBE_SLEEP_S", "0"))
 
 
 def ensure_log(n_events: int) -> str:
@@ -104,7 +109,8 @@ def main() -> None:
         "n_events_large": N_LARGE,
         "config": "per-core heap (0.5g/core, floor 2g cap 8g), AQE off, fresh "
                   "pinned JVM per run, shared pre-generated event logs, "
-                  "single-apply (--cdc-single) with in-run CPU accounting",
+                  "single-apply (--cdc-single) with in-run CPU accounting, "
+                  f"inter-block idle {SLEEP_S}s (phase-coverage stretch)",
         "blocks": [],
         "final": None,
     }
@@ -152,6 +158,8 @@ def main() -> None:
             "standing_gate": gate_ok,
         })
         flush()
+        if SLEEP_S and b < n_blocks - 1:
+            time.sleep(SLEEP_S)
 
     blocks = state["blocks"]
 
