@@ -558,7 +558,7 @@ def _cpu_accounting_delta(before, wall_s: float, cores: int) -> dict:
         return {
             "cpu_share": round(tree / (cores * wall_s), 3) if wall_s > 0 else None,
             "host_busy_frac": round(host / (32 * wall_s), 3) if wall_s > 0 else None,
-            "cotenant_cores": round(max(host - tree, 0.0) / wall_s, 1),
+            "cotenant_cores": round(max(host - tree, 0.0) / wall_s, 1) if wall_s > 0 else None,
             "steal_frac": round((steal1 - steal0) / (32 * wall_s), 3) if wall_s > 0 else None,
         }
     except Exception as e:  # /proc quirk — report, never fail a measurement
