@@ -838,12 +838,13 @@ def _best_on_record_pair() -> dict | None:
 
 
 def _longrun_pooled_on_record() -> dict | None:
-    """Latest completed long-run interleaved-pairs estimate (probe 10+
-    protocol, `scripts/scaling_longrun.py`): `final.all_blocks` from the
-    newest probe file that carries one, with provenance."""
+    """Latest completed long-run interleaved-pairs estimates (probe 10+
+    protocol, `scripts/scaling_longrun.py` / `scaling_weak.py`): the newest
+    `final.all_blocks` PER FRAMING (strong = same input both levels, weak =
+    work proportional to cores), keyed by framing, with provenance."""
     import glob as _glob
 
-    best: dict | None = None
+    by_framing: dict[str, dict] = {}
     for path in sorted(_glob.glob(os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_r*_scaling_probe*.json"))):
         try:
@@ -853,14 +854,15 @@ def _longrun_pooled_on_record() -> dict | None:
             continue
         fin = d.get("final")
         if isinstance(fin, dict) and isinstance(fin.get("all_blocks"), dict):
-            best = {
+            framing = fin.get("framing", "strong (same input both levels)")
+            by_framing[framing] = {
                 **fin["all_blocks"],
                 "pair": d.get("pair"),
-                "framing": fin.get("framing", "strong (same input both levels)"),
+                "framing": framing,
                 "source": os.path.basename(path),
                 "estimator": "pooled mean over ungated interleaved pairs",
             }
-    return best
+    return by_framing or None
 
 
 def main() -> None:
@@ -1019,9 +1021,12 @@ def main() -> None:
             compact["scaling"]["on_record"] = sc["on_record"]
         if sc.get("longrun_pooled"):
             compact["scaling"]["longrun_pooled"] = {
-                k: sc["longrun_pooled"].get(k)
-                for k in ("pooled_efficiency", "median_block_efficiency",
-                          "n_blocks", "framing", "source")
+                framing: {
+                    k: e.get(k)
+                    for k in ("pooled_efficiency", "median_block_efficiency",
+                              "n_blocks", "source")
+                }
+                for framing, e in sc["longrun_pooled"].items()
             }
     line = json.dumps(compact)
     if len(line) > 1900:  # belt-and-braces: drop per-query detail before overflowing
