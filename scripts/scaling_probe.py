@@ -58,6 +58,14 @@ N_EVENTS = int(os.environ.get("SPARK_GRAFT_PROBE_EVENTS", "8000000"))
 # which can only RAISE the denominator) is the bench.py default
 # (SPARK_GRAFT_SCALING_REPEATS) and standard practice for shared hosts.
 REPEATS = int(os.environ.get("SPARK_GRAFT_PROBE_REPEATS", "2"))
+# Absolute-speed floor on the small-side CPU control (ops/s), 0 = off.
+# Probe-11-era lesson: cpu EFFICIENCY is a ratio and can read 1.02 while
+# the box runs 30% below its quiet-host norm (43M small-side ops/s vs the
+# 61-68M quiet band) — a ratio-only trigger fires inside degraded phases
+# whose absolute slowness is exactly what lands the 16-core run in its low
+# mode. A window is only "quiet" if the box is also running at full speed;
+# the floor applies to the trigger AND to both accept brackets.
+ABS_MIN_SMALL_OPS = float(os.environ.get("SPARK_GRAFT_PROBE_ABS_MIN_SMALL_OPS", "0"))
 
 
 def main() -> None:
@@ -96,6 +104,13 @@ def main() -> None:
             f"Each level measured best-of-{REPEATS} (bench.py default; pre-registered — probes 5-7's "
             f"one-shot override left the ~7s large run exposed to mid-run noise the bracket can't see: "
             f"eps16 bimodal 665k/1.1M across equally-gated windows while eps4 held 331-352k)."
+            + (
+                f" ABSOLUTE-SPEED FLOOR (pre-registered): small-side cpu control must also read "
+                f">= {ABS_MIN_SMALL_OPS:.0f} ops/s (quiet-host band 61-68M) on the trigger AND both "
+                f"accept brackets — cpu efficiency is a ratio and reads ~1.0 even when the whole box "
+                f"runs 30% slow, which is precisely the phase that lands the large run in its low mode."
+                if ABS_MIN_SMALL_OPS else ""
+            )
         ),
         "log": [],
         "pairs_run": [],
@@ -111,8 +126,9 @@ def main() -> None:
         _, hc = bench._gate_check(SMALL, LARGE)
         cpu = hc["cpu_ops_per_sec"]["efficiency"]
         bw = hc["mem_bw_gb_s"]["large"]
+        abs_ok = hc["cpu_ops_per_sec"]["small"] >= ABS_MIN_SMALL_OPS
         sane = cpu <= CPU_SANE_MAX and bw <= BW_SANE_MAX
-        trigger = sane and cpu >= TRIGGER_CPU and bw >= ACCEPT_BW
+        trigger = sane and cpu >= TRIGGER_CPU and bw >= ACCEPT_BW and abs_ok
         state["log"].append({"window": w, "trigger_pass": trigger, "controls": hc})
         flush()
         if trigger:
@@ -123,11 +139,12 @@ def main() -> None:
             _, hc2 = bench._gate_check(SMALL, LARGE)
             cpu2 = hc2["cpu_ops_per_sec"]["efficiency"]
             bw2 = hc2["mem_bw_gb_s"]["large"]
+            abs_ok2 = hc2["cpu_ops_per_sec"]["small"] >= ABS_MIN_SMALL_OPS
             sane2 = cpu2 <= CPU_SANE_MAX and bw2 <= BW_SANE_MAX
             clean = (
                 sane2
-                and cpu >= ACCEPT_CPU and bw >= ACCEPT_BW
-                and cpu2 >= ACCEPT_CPU and bw2 >= ACCEPT_BW
+                and cpu >= ACCEPT_CPU and bw >= ACCEPT_BW and abs_ok
+                and cpu2 >= ACCEPT_CPU and bw2 >= ACCEPT_BW and abs_ok2
             )
             entry = {
                 "window": w,
