@@ -326,6 +326,60 @@ class LakeTable:
             return self.spark.createDataFrame([], st.schema.to_spark())
         return self._read_entries(entries, st)
 
+    @staticmethod
+    def _lookup_entries(st: TableState, keys_by_bucket: dict[int, list[str]]) -> list[dict]:
+        """File-skipping for a point lookup: keep an entry only when its
+        bucket holds one of the keys AND (when footer key stats exist) at
+        least one of that bucket's keys falls inside [min_key, max_key].
+        Entries without key stats are conservatively kept. Pure metadata —
+        no file is opened."""
+        out: list[dict] = []
+        for e in st.files.values():
+            ks = keys_by_bucket.get(e["bucket"])
+            if not ks:
+                continue
+            mn, mx = e.get("min_key"), e.get("max_key")
+            if mn is not None and mx is not None and not any(mn <= k <= mx for k in ks):
+                continue
+            out.append(e)
+        return out
+
+    def lookup(self, keys, version: int | None = None) -> DataFrame:
+        """Point-lookup read: O(files-containing-the-keys), never a table scan.
+
+        Three pruning layers, outermost first:
+
+        1. **bucket** — each key's bucket is computed driver-side with the
+           same ``pmod(xxhash64(key), num_buckets)`` the writer used
+           (pure-Python xxhash64, :mod:`functions.pyoracle`); every other
+           bucket's files are skipped from commit metadata alone.
+        2. **per-file key range** — the ``min_key``/``max_key`` footer stats
+           recorded in each add-entry drop files whose range can't contain
+           any looked-up key (parquet writers truncate string stats only to
+           a lower/upper BOUND, so the range test stays safe).
+        3. **in-file** — the residual ``IN`` predicate is pushed into the
+           parquet scan, so row-group stats (and bloom filters when written,
+           see ``SPARK_GRAFT_PARQUET_BLOOM_NDV``) prune inside survivors.
+
+        MOR note: like :meth:`read`, this returns every live row for the
+        keys (base + un-compacted delta rows); the caller's latest-wins
+        resolve owns the ordering semantics. Reference analog: the indexed
+        primary-key SELECTs in parser/dex/repo/repository.go.
+        """
+        from cosmwasm_etl_spark.functions.pyoracle import xxh64_str
+
+        st = self.state(version)
+        uniq = sorted({k for k in keys if k is not None})
+        if not st.files or not uniq:
+            return self.spark.createDataFrame([], st.schema.to_spark())
+        by_bucket: dict[int, list[str]] = {}
+        for k in uniq:
+            by_bucket.setdefault(xxh64_str(k) % st.num_buckets, []).append(k)
+        entries = self._lookup_entries(st, by_bucket)
+        if not entries:
+            return self.spark.createDataFrame([], st.schema.to_spark())
+        return self._read_entries(entries, st).filter(F.col(st.key_col).isin(uniq))
+
     def _read_entries(self, entries: list[dict], st: TableState) -> DataFrame:
         """Scan a file-entry subset, grouped by schema version (one parquet
         scan per group — predicate pushdown + column pruning intact), each
@@ -360,7 +414,18 @@ class LakeTable:
         stage_rel = os.path.join("data", uuid.uuid4().hex)
         stage_abs = os.path.join(self.path, stage_rel)
         out = df if pre_partitioned else df.repartition(max(n_parts, 1), F.col(_BUCKET))
-        out.write.partitionBy(_BUCKET).mode("overwrite").parquet(stage_abs)
+        writer = out.write.partitionBy(_BUCKET).mode("overwrite")
+        # Opt-in parquet bloom filters on the key column: point lookups then
+        # prune ROW GROUPS inside surviving files, not just files. Off by
+        # default — a bloom sized for ndv N adds ~1.2*N bytes per file, which
+        # only pays for itself on lookup-heavy tables (set the expected
+        # per-file distinct-key count, e.g. 1000000 at the 10^10 design point).
+        bloom_ndv = os.environ.get("SPARK_GRAFT_PARQUET_BLOOM_NDV", "")
+        if bloom_ndv.isdigit() and st.key_col:
+            writer = writer.option(
+                f"parquet.bloom.filter.enabled#{st.key_col}", "true"
+            ).option(f"parquet.bloom.filter.expected.ndv#{st.key_col}", bloom_ndv)
+        writer.parquet(stage_abs)
         entries: list[dict] = []
         todo: list[tuple[str, int]] = []
         for dirpath, _dirs, names in os.walk(stage_abs):

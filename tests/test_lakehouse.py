@@ -441,3 +441,79 @@ def test_sqlite_backend_heals_half_published_commit(tmp_path):
     # vacuum's drop_before clears coordinator rows too
     log.drop_before(2)
     assert log.backend.max_version() == 2
+
+
+# ---------------------------------------------------------------- point lookup
+
+
+def test_lookup_matches_full_scan_filter(spark, table):
+    rows = [page(f"u{i:03d}", i, text=f"t{i}") for i in range(40)]
+    table.append(spark.createDataFrame(rows[:20], SCHEMA), epoch=0)
+    table.append(spark.createDataFrame(rows[20:], SCHEMA), epoch=1)
+    keys = ["u003", "u027", "u031", "missing", None]
+    got = sorted(r.url for r in table.lookup(keys).collect())
+    want = sorted(
+        r.url for r in table.read().filter(F.col("url").isin("u003", "u027", "u031")).collect()
+    )
+    assert got == want == ["u003", "u027", "u031"]
+
+
+def test_lookup_prunes_files_by_bucket_and_key_range(spark, table):
+    """The metadata pruner must touch strictly fewer files than the table
+    holds: only the keys' buckets survive, and within a bucket the per-file
+    [min_key, max_key] footer stats drop non-overlapping files."""
+    from cosmwasm_etl_spark.functions.pyoracle import xxh64_str
+
+    # two appends with disjoint key ranges -> every bucket has files whose
+    # key ranges don't overlap the other append's keys
+    table.append(spark.createDataFrame([page(f"a{i:03d}", i) for i in range(64)], SCHEMA), epoch=0)
+    table.append(spark.createDataFrame([page(f"z{i:03d}", i) for i in range(64)], SCHEMA), epoch=1)
+    st = table.state()
+    key = "a001"
+    b = xxh64_str(key) % st.num_buckets
+    entries = table._lookup_entries(st, {b: [key]})
+    assert entries, "lookup must keep at least the file holding the key"
+    assert all(e["bucket"] == b for e in entries)
+    # key-range layer: no surviving file may exclude 'a001' from its stats
+    assert all(
+        e["min_key"] is None or (e["min_key"] <= key <= e["max_key"]) for e in entries
+    )
+    # it pruned: the table has files in other buckets and 'z...' files in
+    # this bucket that a full scan would read
+    assert len(entries) < len(st.files)
+    assert table.lookup([key]).count() == 1
+
+
+def test_lookup_keeps_files_without_key_stats(spark, table):
+    """Conservative fallback: an entry with no footer key stats must stay a
+    candidate (correctness over pruning)."""
+    table.append(spark.createDataFrame([page("k1", 1)], SCHEMA), epoch=0)
+    st = table.state()
+    for e in st.files.values():
+        e["min_key"] = e["max_key"] = None
+    from cosmwasm_etl_spark.functions.pyoracle import xxh64_str
+
+    b = xxh64_str("k1") % st.num_buckets
+    assert table._lookup_entries(st, {b: ["k1"]}) != []
+
+
+def test_lookup_with_parquet_bloom_filters(spark, tmp_path, monkeypatch):
+    """Opt-in parquet bloom on the key column: lookups stay correct and the
+    option demonstrably reaches the writer (pyarrow 16 doesn't surface bloom
+    offsets, so the observable is the per-file byte growth the bloom adds —
+    identical data written with the env set must be strictly larger)."""
+    rows = [page(f"u{i:03d}", i) for i in range(32)]
+
+    def _write(name):
+        t = LakeTable.create(
+            spark, str(tmp_path / name), SCHEMA, "url", "warc_ts", num_buckets=1
+        )
+        t.append(spark.createDataFrame(rows, SCHEMA), epoch=0)
+        return t, sum(e["bytes"] for e in t.state().files.values())
+
+    monkeypatch.delenv("SPARK_GRAFT_PARQUET_BLOOM_NDV", raising=False)
+    _, plain_bytes = _write("plain")
+    monkeypatch.setenv("SPARK_GRAFT_PARQUET_BLOOM_NDV", "1000")
+    bloomed, bloom_bytes = _write("bloomed")
+    assert bloom_bytes > plain_bytes, "bloom option did not reach the parquet writer"
+    assert sorted(r.url for r in bloomed.lookup(["u005", "u017"]).collect()) == ["u005", "u017"]
