@@ -403,7 +403,12 @@ class LakeTable:
     # ------------------------------------------------------------------ write
 
     def _write_files(
-        self, df: DataFrame, st: TableState, n_parts: int, pre_partitioned: bool = False
+        self,
+        df: DataFrame,
+        st: TableState,
+        n_parts: int,
+        pre_partitioned: bool = False,
+        sort_by: str | None = None,
     ) -> list[dict]:
         """Write df (must carry __bucket) partitioned by bucket; return add-entries.
 
@@ -414,7 +419,17 @@ class LakeTable:
         stage_rel = os.path.join("data", uuid.uuid4().hex)
         stage_abs = os.path.join(self.path, stage_rel)
         out = df if pre_partitioned else df.repartition(max(n_parts, 1), F.col(_BUCKET))
+        if sort_by:
+            # cluster rows by key inside each written file: row-group min/max
+            # stats on the key become tight, so point lookups skip row groups
+            # inside surviving files even without bloom filters
+            out = out.sortWithinPartitions(_BUCKET, sort_by)
         writer = out.write.partitionBy(_BUCKET).mode("overwrite")
+        # row-group size knob (bytes): smaller groups = finer stats/bloom
+        # pruning granularity for lookup-heavy tables, at some scan-speed cost
+        block = os.environ.get("SPARK_GRAFT_PARQUET_BLOCK_SIZE", "")
+        if block.isdigit():
+            writer = writer.option("parquet.block.size", block)
         # Opt-in parquet bloom filters on the key column: point lookups then
         # prune ROW GROUPS inside surviving files, not just files. Off by
         # default — a bloom sized for ndv N adds ~1.2*N bytes per file, which
@@ -708,7 +723,11 @@ class LakeTable:
         resolved = resolve(self.read()).select(*st.schema.names()).withColumn(
             _BUCKET, self._bucket_expr(st.key_col, st.num_buckets)
         )
-        adds = self._write_files(resolved, st, st.num_buckets)
+        # compaction is the amortized background pass — spend its sort to
+        # key-cluster the rewritten files (tight row-group key stats, so
+        # point lookups prune inside the compacted files; hot-path delta
+        # appends stay sort-free)
+        adds = self._write_files(resolved, st, st.num_buckets, sort_by=st.key_col)
         v = st.version + 1
         self.log.write_commit(
             v,

@@ -517,3 +517,40 @@ def test_lookup_with_parquet_bloom_filters(spark, tmp_path, monkeypatch):
     bloomed, bloom_bytes = _write("bloomed")
     assert bloom_bytes > plain_bytes, "bloom option did not reach the parquet writer"
     assert sorted(r.url for r in bloomed.lookup(["u005", "u017"]).collect()) == ["u005", "u017"]
+
+
+def test_compact_clusters_rows_by_key(spark, tmp_path, monkeypatch):
+    """Compaction key-sorts within each bucket file so row-group key stats
+    are tight: with a small parquet block size forcing several row groups,
+    consecutive groups' [min,max] url ranges must be non-overlapping —
+    the property in-file lookup pruning relies on."""
+    monkeypatch.setenv("SPARK_GRAFT_PARQUET_BLOCK_SIZE", "65536")
+    t = LakeTable.create(spark, str(tmp_path / "c"), SCHEMA, "url", "warc_ts", num_buckets=1)
+    rows = [page(f"u{i:05d}", i, text="x" * 200) for i in range(4000)]
+    import random
+
+    random.Random(7).shuffle(rows)
+    t.append(spark.createDataFrame(rows, SCHEMA), epoch=0)
+    t.compact(lambda df: df, epoch=1)
+
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    st = t.state()
+    multi_rg = False
+    for e in st.files.values():
+        md = _pq.ParquetFile(_os.path.join(t.path, e["path"])).metadata
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i for i in range(md.num_columns)
+        }
+        ranges = []
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(idx["url"]).statistics
+            ranges.append((s.min, s.max))
+        if len(ranges) > 1:
+            multi_rg = True
+            for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+                assert hi1 <= lo2, f"row groups overlap: {hi1} > {lo2}"
+    assert multi_rg, "block-size knob did not produce multiple row groups"
+    assert t.lookup(["u00042"]).count() == 1
