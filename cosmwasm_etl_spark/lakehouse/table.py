@@ -365,6 +365,11 @@ class LakeTable:
         keys (base + un-compacted delta rows); the caller's latest-wins
         resolve owns the ordering semantics. Reference analog: the indexed
         primary-key SELECTs in parser/dex/repo/repository.go.
+
+        Sized for POINT lookups (tens to thousands of keys — driver-side
+        hashing plus an ``IN`` literal list). For batch-scale key sets use
+        :meth:`read_buckets` on the keys' buckets plus a broadcast semi-join,
+        the shape the ingest-dedup candidate fetch uses.
         """
         from cosmwasm_etl_spark.functions.pyoracle import xxh64_str
 
