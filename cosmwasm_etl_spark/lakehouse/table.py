@@ -294,6 +294,51 @@ class LakeTable:
             out.append({"version": v, "operation": c["operation"], "summary": c.get("summary", {})})
         return out
 
+    def describe(self, version: int | None = None) -> dict:
+        """Metadata-only table summary from the commit log — no file is
+        opened, no job runs (the observability analog of the reference's
+        row-count/health queries, `aggregator/repo/repository.go` counts).
+
+        ``buckets`` maps bucket -> {files, rows, bytes}; ``skew`` is
+        max-bucket-rows / mean-bucket-rows over non-empty buckets (1.0 =
+        perfectly even) — the first thing to check when one task lags a
+        100×-scale MERGE. ``delta`` counts un-compacted MOR files (compaction
+        debt); rows in MOR mode count every live base+delta row, so they
+        upper-bound (not equal) the resolved key count."""
+        st = self.state(version)
+        buckets: dict[int, dict] = {}
+        total_rows = total_bytes = 0
+        delta_files = delta_rows = 0
+        for e in st.files.values():
+            b = buckets.setdefault(e["bucket"], {"files": 0, "rows": 0, "bytes": 0})
+            b["files"] += 1
+            b["rows"] += e["rows"]
+            b["bytes"] += e["bytes"]
+            total_rows += e["rows"]
+            total_bytes += e["bytes"]
+            if e["path"] in st.delta_files:
+                delta_files += 1
+                delta_rows += e["rows"]
+        per_rows = [b["rows"] for b in buckets.values()]
+        skew = (max(per_rows) / (sum(per_rows) / len(per_rows))) if per_rows else 0.0
+        return {
+            "version": st.version,
+            "schema_version": st.schema.schema_version if st.schema else 0,
+            "key_col": st.key_col,
+            "ts_col": st.ts_col,
+            "num_buckets": st.num_buckets,
+            "sink_mode": st.sink_mode or "cow",
+            "key_norm": st.key_norm,
+            "watermark": st.watermark,
+            "epochs": len(st.epochs),
+            "files": len(st.files),
+            "rows": total_rows,
+            "bytes": total_bytes,
+            "delta": {"files": delta_files, "rows": delta_rows},
+            "buckets": buckets,
+            "skew": round(skew, 3),
+        }
+
     def _maybe_checkpoint(self, version: int) -> None:
         if version % CHECKPOINT_INTERVAL == 0:
             self.log.write_checkpoint(version, self.state(version).to_dict())

@@ -554,3 +554,20 @@ def test_compact_clusters_rows_by_key(spark, tmp_path, monkeypatch):
                 assert hi1 <= lo2, f"row groups overlap: {hi1} > {lo2}"
     assert multi_rg, "block-size knob did not produce multiple row groups"
     assert t.lookup(["u00042"]).count() == 1
+
+
+def test_describe_metadata_only(spark, table):
+    """describe() summarizes the table from commit metadata alone: rows/
+    bytes/files, per-bucket layout + skew, MOR delta debt, provenance."""
+    table.append(spark.createDataFrame([page(f"u{i}", i) for i in range(20)], SCHEMA), epoch=0)
+    d = table.describe()
+    assert d["rows"] == 20 and d["files"] == len(table.state().files)
+    assert d["key_col"] == "url" and d["num_buckets"] == 8
+    assert sum(b["rows"] for b in d["buckets"].values()) == 20
+    assert d["skew"] >= 1.0 and d["delta"] == {"files": 0, "rows": 0}
+    assert d["epochs"] == 1 and d["sink_mode"] == "cow"
+    # MOR deltas show up as compaction debt
+    table.append_delta(spark.createDataFrame([page("u0", 99, "v2")], SCHEMA), epoch=1)
+    d2 = table.describe()
+    assert d2["delta"]["files"] >= 1 and d2["delta"]["rows"] == 1
+    assert d2["rows"] == 21  # MOR rows upper-bound the resolved count
