@@ -194,3 +194,118 @@ def read_event_log_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)
+
+
+# --------------------------------------------------------------------- jsonl
+
+# Wire schema for JSONL logs: html travels base64-encoded (JSON has no
+# binary type); every field nullable so PERMISSIVE parsing can null out
+# the fields of a malformed line while filling _corrupt_record.
+_JSONL_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), True),
+        T.StructField("epoch", T.LongType(), True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("_corrupt_record", T.StringType(), True),
+    ]
+)
+
+_JSONL_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_REQUIRED_EVENT_FIELDS = ("seq", "epoch", "op", "url", "warc_ts")
+
+
+def write_event_log_jsonl(df: DataFrame, path: str, range_partitions: int = 32) -> None:
+    """JSONL twin of :func:`write_event_log` (external CDC-dump exchange
+    format): html base64-encoded, timestamps written with an explicit
+    microsecond+offset format so the reader round-trips exactly. Same
+    seq-range partitioning; JSON carries no footer stats, so epoch pruning
+    comes from file-level ordering only — parquet remains the performance
+    format, JSONL the interchange one."""
+    (
+        df.withColumn("html", F.base64(F.col("html")))
+        .repartitionByRange(range_partitions, "seq")
+        .write.mode("overwrite")
+        .option("timestampFormat", _JSONL_TS_FMT)
+        .json(path)
+    )
+
+
+def read_event_log_jsonl(
+    spark: SparkSession, path: str, on_malformed: str = "fail"
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Read a JSONL change-event log into the canonical EVENT_SCHEMA.
+
+    ``on_malformed``:
+
+    - ``"fail"`` (default) — FAILFAST: any unparsable line or line missing
+      a required field (seq/epoch/op/url/warc_ts) raises; the strict-inputs
+      contract of a replay source. (Costs one extra validation pass over
+      the log, early-exiting at the first bad line — use ``"quarantine"``
+      for the single-scan production path.)
+    - ``"quarantine"`` — returns ``(events, bad)``: PERMISSIVE parse where
+      ``bad`` carries one ``raw_line`` string per rejected input line (the
+      dead-letter convention of the pipeline's quarantine store,
+      `plans/pipeline.py` T8) and ``events`` is clean EVENT_SCHEMA rows.
+      A line is rejected if it fails to parse OR parses with a required
+      field absent/null — both would otherwise corrupt replay ordering.
+
+    Reference analog: the FCD/LCD JSON payload readers
+    (`collector/fcd/fcd.go`), re-expressed as a schema-pinned JSON scan
+    with dead-lettering instead of per-row Go decoding.
+    """
+    if on_malformed not in ("fail", "quarantine"):
+        raise ValueError(f"on_malformed must be 'fail' or 'quarantine', got {on_malformed!r}")
+    required_null = None
+    for c in _REQUIRED_EVENT_FIELDS:
+        cond = F.col(c).isNull()
+        required_null = cond if required_null is None else (required_null | cond)
+
+    def _finish(parsed: DataFrame) -> DataFrame:
+        return parsed.select(
+            F.col("seq").cast("long").alias("seq"),
+            F.col("epoch").cast("long").alias("epoch"),
+            "op",
+            "url",
+            "warc_ts",
+            F.unbase64(F.col("html")).alias("html"),
+            "lang",
+        )
+
+    if on_malformed == "fail":
+        raw = (
+            spark.read.schema(T.StructType(_JSONL_WIRE_SCHEMA.fields[:-1]))
+            .option("mode", "FAILFAST")
+            .option("timestampFormat", _JSONL_TS_FMT)
+            .json(path)
+        )
+        # FAILFAST catches unparsable lines; missing required fields parse
+        # as NULL and must still be refused eagerly
+        marked = raw.withColumn("__bad", required_null)
+        bad_n = marked.filter(F.col("__bad")).limit(1).count()
+        if bad_n:
+            raise ValueError(
+                f"jsonl event log at {path} has lines missing required "
+                f"fields {_REQUIRED_EVENT_FIELDS}; use on_malformed='quarantine' to dead-letter them"
+            )
+        return _finish(raw)
+
+    raw = (
+        spark.read.schema(_JSONL_WIRE_SCHEMA)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", _JSONL_TS_FMT)
+        .json(path)
+    )
+    bad_cond = F.col("_corrupt_record").isNotNull() | required_null
+    events = _finish(raw.filter(~bad_cond))
+    bad = raw.filter(bad_cond).select(
+        F.coalesce(
+            F.col("_corrupt_record"),
+            F.to_json(F.struct(*[F.col(f.name) for f in _JSONL_WIRE_SCHEMA.fields[:-1]])),
+        ).alias("raw_line")
+    )
+    return events, bad
