@@ -37,7 +37,10 @@ import sys
 
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--events", required=True, help="event-log directory (parquet)")
+    ap.add_argument("--events", required=True, help="event-log directory")
+    ap.add_argument("--events-format", choices=["parquet", "jsonl"], default="parquet",
+                    help="jsonl: interchange dumps (replay mode only; bad lines "
+                         "are dead-lettered to <work>/jsonl_dead_letter)")
     ap.add_argument("--table", required=True, help="lakehouse pages table path")
     ap.add_argument("--work", required=True, help="work dir (lineage, quarantine)")
     ap.add_argument("--mode", choices=["replay", "available-now", "stream"], default="replay")
@@ -75,6 +78,8 @@ def main() -> int:
                          "tracking-param/fragment-normalized); recorded in the "
                          "commit log — reopening with the other mode is refused")
     args = ap.parse_args()
+    if args.events_format == "jsonl" and args.mode != "replay":
+        ap.error("--events-format jsonl supports --mode replay only (streaming tails parquet logs)")
 
     evolutions = None
     if args.schema_evolutions:
@@ -109,7 +114,15 @@ def main() -> int:
 
     stalled = False
     if args.mode == "replay":
-        events = spark.read.parquet(args.events)
+        if args.events_format == "jsonl":
+            from cosmwasm_etl_spark.sources.eventlog import read_event_log_jsonl
+
+            events, bad = read_event_log_jsonl(spark, args.events, on_malformed="quarantine")
+            # dead-letter the unparsable lines beside the pipeline's own
+            # quarantine store so operators find both in one place
+            bad.write.mode("overwrite").parquet(f"{args.work}/jsonl_dead_letter")
+        else:
+            events = spark.read.parquet(args.events)
         stats = pipe.run_replay(
             events, epochs_per_batch=args.epochs_per_batch,
             schema_evolutions=evolutions,

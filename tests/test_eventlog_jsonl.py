@@ -89,3 +89,65 @@ def test_jsonl_replay_equivalence(spark, tmp_path, events):
     pipe = CdcPipeline(spark, t, str(tmp_path / "work"))
     pipe.run_replay(loaded, epochs_per_batch=2)
     assert pipe.audit(events).count() == 0
+
+
+def test_cdc_ingest_job_jsonl_format(spark, tmp_path, events):
+    """jobs/cdc_ingest.py --events-format jsonl: replay from a JSONL dump in
+    a separate process, dead-letter bad lines under work/, converge to the
+    same state the raw events define (cross-process audit)."""
+    import json
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    js = str(tmp_path / "events_js")
+    small = events.filter(F.col("epoch") < 2)  # 2 epochs = quick job
+    write_event_log_jsonl(small, js, range_partitions=2)
+    with open(os.path.join(js, "part-bad.json"), "w") as f:
+        f.write("definitely not json\n")
+    table_dir, work_dir = str(tmp_path / "pages"), str(tmp_path / "work")
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env["SPARK_GRAFT_SHUFFLE"] = "8"
+    env["PYTHONPATH"] = REPO
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "cdc_ingest.py"),
+            "--events", js, "--events-format", "jsonl",
+            "--table", table_dir, "--work", work_dir,
+            "--mode", "replay", "--epochs-per-batch", "1", "--num-buckets", "8",
+        ],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, f"stderr tail:\n{proc.stderr[-3000:]}"
+    summary = json.loads(
+        [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert summary["mode"] == "replay" and summary["applied"] >= 1
+
+    from cosmwasm_etl_spark.lakehouse import LakeTable
+    from cosmwasm_etl_spark.plans.pipeline import CdcPipeline
+
+    table = LakeTable.load(spark, table_dir)
+    pipe = CdcPipeline(spark, table, work_dir)
+    assert pipe.audit(small).count() == 0
+    dead = spark.read.parquet(os.path.join(work_dir, "jsonl_dead_letter"))
+    assert [r.raw_line for r in dead.collect()] == ["definitely not json"]
+
+
+def test_cdc_ingest_job_jsonl_refused_for_streaming(tmp_path):
+    import subprocess
+    import sys
+
+    REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "jobs", "cdc_ingest.py"),
+            "--events", str(tmp_path), "--events-format", "jsonl",
+            "--table", str(tmp_path / "t"), "--work", str(tmp_path / "w"),
+            "--mode", "stream",
+        ],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 2  # argparse error, before any Spark startup
+    assert "replay only" in proc.stderr
