@@ -30,7 +30,11 @@ spec.loader.exec_module(bench)
 
 TRIGGER_CPU = 0.95
 ACCEPT_CPU = 0.9
-ACCEPT_BW = 2.5
+# Probe-14 lesson: its one gated pair carried bw_large = 2.8 GB/s — right
+# at the 2.5 floor — and landed in a degraded sub-window (eps4 below the
+# quiet norm). The floor is env-overridable so a probe can pre-register a
+# stricter bandwidth gate (probe 15: 4.0).
+ACCEPT_BW = float(os.environ.get("SPARK_GRAFT_PROBE_ACCEPT_BW", "2.5"))
 # sanity bounds (added after probe-4 window 19): a control reading of
 # cpu_eff 1.35 (superlinear) or 35 GB/s bandwidth (host saturates ~5-10)
 # is a measurement glitch, not a good window — triggering on it wastes a
