@@ -70,6 +70,7 @@ HEADLINE = [
     "ivf_ann",
     "gopher_quality",
     "tfidf_top_terms",
+    "ngram_lm_score",
     # r5 webtext surface: canonical-url CDC keying and eval-set leakage
     "url_canonical_dedup",
     "decontaminate",

@@ -863,6 +863,56 @@ LEFT JOIN bstats bs USING (doc_id)
 """
 
 
+def q_ngram_lm_score(spark, sf_dir):
+    """CCNet-style LM quality signal: per-document cross-entropy (and
+    perplexity) under a corpus-trained add-one-smoothed bigram model —
+    see functions/lm.py for the model definition and the 100 TB plan
+    shape (one explode feeds training and scoring; count joins are
+    shuffle equi-joins against one-row-per-key aggregate sides, not
+    broadcasts — vocabulary is unbounded at corpus scale).
+
+    The DuckDB oracle retrains the identical model relationally
+    (positional unnest instead of zip_with) — two independent
+    formulations agreeing on every document's score. avg() summation
+    order differs between engines, hence the repo-standard round(…, 6)
+    on the emitted floats (ulp discipline, cf. tfidf's rational-idf
+    note)."""
+    from cosmwasm_etl_spark.functions.lm import bigram_lm_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, text_col="text", id_col="doc_id")
+
+
+SQL_NGRAM_LM_SCORE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0) AS toks
+  FROM documents
+), idx AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t
+), bgf AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM idx
+), c2 AS (
+  SELECT w1, w2, count(*) AS n2 FROM bgf GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, sum(n2) AS n1 FROM c2 GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w) AS vv FROM (SELECT unnest(toks) AS w FROM t)
+), s AS (
+  SELECT b.doc_id, ln((c2.n2 + 1.0) / (c1.n1 + v.vv)) AS lp
+  FROM bgf b JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+), p AS (
+  SELECT doc_id, count(*) AS n_bigrams, -avg(lp) AS ce FROM s GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       round(p.ce, 6) AS cross_entropy,
+       round(exp(p.ce), 6) AS ppl
+FROM documents d
+LEFT JOIN p USING (doc_id)
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 characteristic terms per source by a TF-IDF-style score with a
     RATIONAL idf — tf * (N - df + 0.5) / (df + 0.5), the BM25 idf core
@@ -1848,6 +1898,7 @@ QUERIES = {
     "doc_token_stats": q_doc_token_stats,
     "lang_id_docs": q_lang_id_docs,
     "gopher_quality": q_gopher_quality,
+    "ngram_lm_score": q_ngram_lm_score,
     "dataset_split": q_dataset_split,
     "doc_length_quantiles": q_doc_length_quantiles,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1900,6 +1951,7 @@ ORACLES = {
     "doc_token_stats": SQL_DOC_TOKEN_STATS,
     "lang_id_docs": SQL_LANG_ID_DOCS,
     "gopher_quality": SQL_GOPHER_QUALITY,
+    "ngram_lm_score": SQL_NGRAM_LM_SCORE,
     "dataset_split": SQL_DATASET_SPLIT,
     "doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,

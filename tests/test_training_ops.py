@@ -713,3 +713,41 @@ def test_blocked_gemm_equals_column_near_dups(spark, sf_dir):
     tb = sorted(map(tuple, cosine_near_dups(tiny, threshold=-1.0).collect()))
     tg = sorted(map(tuple, cosine_near_dups_blocked(tiny, -1.0, n_blocks=16).collect()))
     assert tb == tg and len(tb) == 10
+
+
+def test_bigram_lm_score_hand_computed(spark):
+    """Add-one bigram LM cross-entropy against a corpus small enough to
+    score by hand (model: functions/lm.py docstring).
+
+    Corpus: d1="a b a b", d2="a b", d3="c".
+    Counts: c2(a,b)=3, c2(b,a)=1; prefix c1(a)=3, c1(b)=1; V=|{a,b,c}|=3.
+    P(b|a)=(3+1)/(3+3)=2/3, P(a|b)=(1+1)/(1+3)=1/2.
+    """
+    import math
+
+    from cosmwasm_etl_spark.functions.lm import bigram_lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    ce1 = -(2 * math.log(2 / 3) + math.log(1 / 2)) / 3
+    ce2 = -math.log(2 / 3)
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["cross_entropy"] == round(ce1, 6)
+    assert got[1]["ppl"] == round(math.exp(ce1), 6)
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["cross_entropy"] == round(ce2, 6)
+    assert got[3]["n_bigrams"] == 0
+    assert got[3]["cross_entropy"] is None and got[3]["ppl"] is None
+
+
+def test_bigram_lm_score_partition_invariant(spark, docs):
+    """Same scores at 1 and 13 input partitions (corpus-global model —
+    a partition-local count bug would shift every probability)."""
+    from cosmwasm_etl_spark.functions.lm import bigram_lm_score
+
+    sl = docs.select("doc_id", "text").limit(60)
+    a = sorted(map(tuple, bigram_lm_score(sl.coalesce(1)).collect()))
+    b = sorted(map(tuple, bigram_lm_score(sl.repartition(13)).collect()))
+    assert a == b and len(a) == 60
