@@ -32,7 +32,7 @@ import json
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -91,6 +91,30 @@ def _is_ok_fast_expr():
     arbiter (check_quarantine_udf) re-examines."""
     return (F.length("html") == F.lit(0)) | (
         F.is_valid_utf8(F.col("html")) & ~F.contains(F.col("html"), F.lit(_UFFFD_BYTES))
+    )
+
+
+def _jvm_extract_expr() -> Column:
+    """Pure-JVM extraction (the ``extractor="jvm"`` scaling-control path):
+    strip script/style/comments/tags with one regexp pass, fold whitespace.
+    Cost-representative of the Arrow extractor, zero Python. The decode is
+    structurally guarded by when(is_valid_utf8) — not a boolean conjunction
+    whose evaluation order Catalyst may rewrite — so invalid bytes yield
+    NULL text instead of failing the job (round-4 ADVICE #1). Shared by
+    apply_batch and expected_state so apply and audit oracle cannot drift."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.when(
+                    F.is_valid_utf8(F.col("html")),
+                    F.decode(F.col("html"), "UTF-8"),
+                ),
+                r"(?s)<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->|<[^>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
     )
 
 
@@ -369,21 +393,9 @@ class CdcPipeline:
                 placed, self.extract_versions, epoch_col="epoch", html_col="html", out_text="text"
             )
         elif self.extractor == "jvm":
-            # scaling-control path: cost-representative, JVM-only
-            extracted = placed.withColumn(
-                "text",
-                F.trim(
-                    F.regexp_replace(
-                        F.regexp_replace(
-                            F.decode(F.col("html"), "UTF-8"),
-                            r"(?s)<(script|style)\b[^>]*>.*?</\1\s*>|<!--.*?-->|<[^>]*>",
-                            " ",
-                        ),
-                        r"\s+",
-                        " ",
-                    )
-                ),
-            ).withColumn("__extract_err", F.lit(None).cast("string"))
+            extracted = placed.withColumn("text", _jvm_extract_expr()).withColumn(
+                "__extract_err", F.lit(None).cast("string")
+            )
         else:
             extracted = with_extracted_text(placed, html_col="html", out_text="text")
         # the cheap pre-check and the full extraction share one validity
@@ -493,9 +505,17 @@ class CdcPipeline:
         the decoded text, since the ratio rule counts U+FFFD in the DECODED
         string) prunes ~99.8% of rows before any byte crosses to Python."""
         candidates = events.filter((F.length("html") > 0) & ~_is_ok_fast_expr())
-        q = candidates.withColumn("__q_err", check_quarantine_udf()(F.col("html"))).filter(
-            F.col("__q_err").isNotNull()
-        )
+        if self.extractor == "jvm":
+            # the capture arbiter must be the SAME rule apply_batch used to
+            # exclude the rows — in jvm mode that is the fast path itself.
+            # Re-arbitrating with the python ratio rule here would silently
+            # drop rows the two rules disagree on (e.g. a short page with
+            # two invalid bytes: invalid UTF-8, but replacement ratio < 0.3).
+            q = candidates.withColumn("__q_err", F.lit("invalid_encoding"))
+        else:
+            q = candidates.withColumn(
+                "__q_err", check_quarantine_udf()(F.col("html"))
+            ).filter(F.col("__q_err").isNotNull())
         return self._write_quarantine(q, batch_id)
 
     def _write_quarantine(self, df: DataFrame, batch_id: int, suffix: str = "") -> int:
@@ -675,6 +695,15 @@ class CdcPipeline:
         here, so there is no broadcast to exploit; see BENCH.md.)"""
         events = self._normalize(events)
         is_ok_fast = _is_ok_fast_expr()
+        if self.extractor == "jvm":
+            # oracle mirrors the jvm apply path exactly: fast-path validity
+            # is the arbiter, extraction is the shared JVM expression
+            valid = events.filter(is_ok_fast)
+            winners = self._dedup(valid)
+            alive = winners.filter(F.col("op") != "delete")
+            return alive.withColumn("text", _jvm_extract_expr()).select(
+                "url", "warc_ts", "html", "text", "lang"
+            )
         masked = F.when(~is_ok_fast, F.col("html"))
         valid = events.withColumn("__q_err", check_quarantine_udf()(masked)).filter(
             F.col("__q_err").isNull()

@@ -345,6 +345,52 @@ def test_literal_ufffd_page_is_quarantined_not_dropped(spark, tmp_path):
     assert pipe.audit(events).count() == 0
 
 
+def test_jvm_extractor_quarantines_invalid_bytes(spark, tmp_path):
+    """The pure-JVM control extractor (``extractor="jvm"``, the scaling
+    bench's zero-Python path) must survive a batch containing invalid UTF-8:
+    the row is quarantined by the fast-path validity rule BEFORE extraction,
+    and the decode inside the regexp transform is additionally guarded by
+    when(is_valid_utf8) so no Catalyst predicate reorder can ever feed it
+    malformed bytes (round-4 ADVICE #1)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("epoch", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), True),
+            T.StructField("lang", T.StringType(), True),
+        ]
+    )
+    t0 = dt.datetime(2026, 1, 1)
+    bad = b"<html>\xff\xfe broken</html>"  # invalid UTF-8
+    ok = b"<html><script>x=1</script><body>hello  world</body></html>"
+    events = spark.createDataFrame(
+        [
+            Row(seq=0, epoch=0, op="insert", url="u/bad", warc_ts=t0, html=bad, lang="en"),
+            Row(seq=1, epoch=0, op="insert", url="u/ok", warc_ts=t0, html=ok, lang="en"),
+        ],
+        schema,
+    )
+    pipe = make_pipeline(spark, tmp_path, extractor="jvm")
+    stats = pipe.run_replay(events, epochs_per_batch=1)
+    assert all(not s.get("skipped") for s in stats)
+    q = pipe.read_quarantine()
+    assert {r.url for r in q.collect()} == {"u/bad"}
+    rows = {r.url: r.text for r in pipe.pages().collect()}
+    assert set(rows) == {"u/ok"}
+    # JVM regexp semantics: script stripped, tags stripped, whitespace folded
+    assert rows["u/ok"] == "hello world"
+    # the replay-equivalence oracle mirrors the jvm path too
+    assert pipe.audit(events).count() == 0
+
+
 def test_canonical_keys_collapse_url_variants(spark, tmp_path, events_df):
     """canonicalize_keys=True: the same page arriving under messy
     spellings (host case, explicit default port, tracking params) must
