@@ -77,6 +77,7 @@ HEADLINE = [
     # r5 corpus-prep surface: redaction, packing, segment dedup, mixing
     "pii_redact",
     "segment_dedup",
+    "substring_span_dups",
     "pack_docs",
     "resample_docs",
     "shuffle_order",

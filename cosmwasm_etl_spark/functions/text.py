@@ -110,7 +110,16 @@ def shingles(text: Column, n: int = 3) -> Column:
     (equally deterministic) family: hash-of-token-hashes instead of
     hash-of-joined-string — Jaccard/minhash/banding semantics are
     unchanged (injective modulo 64-bit collisions either way)."""
-    toks_h = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    return shingle_hashes(tokens(text), n)
+
+
+def shingle_hashes(toks: Column, n: int) -> Column:
+    """Rolling n-gram hash array over an already-tokenized array (the
+    factored core of :func:`shingles` — callers that need BOTH the token
+    array and its window hashes reuse one tokenization). Position i of the
+    result hashes tokens [i, i+n); fewer than n tokens yields an empty
+    array."""
+    toks_h = F.transform(toks, lambda t: F.xxhash64(t))
     cnt = F.greatest(F.size(toks_h) - F.lit(n - 1), F.lit(0))
     acc = F.slice(toks_h, 1, cnt)
     for j in range(1, n):

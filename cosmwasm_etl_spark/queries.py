@@ -1741,6 +1741,66 @@ FROM flagged GROUP BY doc_id
 """
 
 
+def q_substring_span_dups(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 exact substring
+    dedup, bucket-then-verify instead of suffix arrays): per document, the
+    count and merged token coverage of k-token windows whose exact token
+    sequence occurs more than once in the corpus (see
+    functions/dedup.py:substring_span_stats for the scale shape)."""
+    from cosmwasm_etl_spark.functions.dedup import substring_span_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_span_stats(docs, text_col="text", id_col="doc_id", k=8)
+
+
+SQL_SUBSTRING_SPAN_DUPS = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '{_TOK_SPLIT_SQL}'), x -> len(x) > 0) AS toks
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         unnest(range(greatest(len(toks) - 7, 0))) AS pos,
+         unnest(list_transform(range(greatest(len(toks) - 7, 0)),
+                               i -> array_to_string(toks[i+1 : i+8], ' '))) AS sub
+  FROM t
+), flagged AS (
+  SELECT doc_id, pos, count(*) OVER (PARTITION BY sub) > 1 AS dup FROM w
+), d AS (
+  SELECT doc_id, pos FROM flagged WHERE dup
+), isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos > coalesce(max(pos + 8) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM d
+), g AS (
+  SELECT doc_id, pos,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gid
+  FROM isl
+), spans AS (
+  SELECT doc_id, gid, min(pos) AS s, max(pos) + 8 AS e FROM g GROUP BY doc_id, gid
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s) AS dup_tokens FROM spans GROUP BY doc_id
+), nw AS (
+  SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id
+), ndw AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM d GROUP BY doc_id
+)
+SELECT d0.doc_id,
+       CAST(coalesce(nw.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(ndw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM documents d0
+LEFT JOIN nw USING (doc_id)
+LEFT JOIN ndw USING (doc_id)
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 _BLOCKED_HOSTS = ["www.site1.example.com", "www.site7.example.com", "site13.example.com"]
 
 
@@ -1887,6 +1947,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "pack_docs": q_pack_docs,
     "segment_dedup": q_segment_dedup,
+    "substring_span_dups": q_substring_span_dups,
     "domain_stats": q_domain_stats,
     "resample_docs": q_resample_docs,
     "shuffle_order": q_shuffle_order,
@@ -1940,6 +2001,7 @@ ORACLES = {
     "pii_redact": SQL_PII_REDACT,
     "pack_docs": SQL_PACK_DOCS,
     "segment_dedup": SQL_SEGMENT_DEDUP,
+    "substring_span_dups": SQL_SUBSTRING_SPAN_DUPS,
     "domain_stats": SQL_DOMAIN_STATS,
     "resample_docs": SQL_RESAMPLE_DOCS,
     "shuffle_order": SQL_SHUFFLE_ORDER,

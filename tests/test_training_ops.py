@@ -751,3 +751,47 @@ def test_bigram_lm_score_partition_invariant(spark, docs):
     a = sorted(map(tuple, bigram_lm_score(sl.coalesce(1)).collect()))
     b = sorted(map(tuple, bigram_lm_score(sl.repartition(13)).collect()))
     assert a == b and len(a) == 60
+
+
+def test_substring_span_stats_hand_computed(spark):
+    """Exact substring-span dedup on a hand-checkable corpus (k=4):
+    cross-doc shared window, within-doc repeat (adjacent spans MERGE when
+    windows touch end-to-end), island split across a gap, and a
+    no-duplicate doc."""
+    from cosmwasm_etl_spark.functions.dedup import substring_span_stats
+
+    rows = [
+        (0, "one two three four five six"),          # shares w/ doc 1 at pos 0
+        (1, "zzz one two three four qqq"),           # shared window at pos 1
+        (2, "unique words only here now"),           # clean
+        (3, "x y z w x y z w"),                      # within-doc repeat: pos 0 & 4
+        (4, "p q r s g1 g2 g3 g4 g5 p q r s"),       # repeat split by a gap
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.n_dup_spans, r.dup_tokens)
+        for r in substring_span_stats(docs, k=4).collect()
+    }
+    assert got[0] == (3, 1, 1, 4)   # span [0,4)
+    assert got[1] == (3, 1, 1, 4)   # span [1,5)
+    assert got[2] == (2, 0, 0, 0)
+    # pos 4 starts exactly where span [0,4) ends -> islands merge: [0,8)
+    assert got[3] == (5, 2, 1, 8)
+    # pos 0 and pos 9 with a 5-token gap -> two islands [0,4) + [9,13)
+    assert got[4] == (10, 2, 2, 8)
+
+
+def test_substring_span_stats_short_and_empty_docs(spark):
+    from cosmwasm_etl_spark.functions.dedup import substring_span_stats
+
+    rows = [(0, "a b c"), (1, ""), (2, None), (3, "a b c d"), (4, "a b c d")]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.n_dup_spans, r.dup_tokens)
+        for r in substring_span_stats(docs, k=4).collect()
+    }
+    assert got[0] == (0, 0, 0, 0)  # 3 tokens < k
+    assert got[1] == (0, 0, 0, 0)
+    assert got[2] == (0, 0, 0, 0)
+    assert got[3] == (1, 1, 1, 4)  # identical single-window docs
+    assert got[4] == (1, 1, 1, 4)
