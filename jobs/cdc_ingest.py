@@ -38,9 +38,12 @@ import sys
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--events", required=True, help="event-log directory")
-    ap.add_argument("--events-format", choices=["parquet", "jsonl"], default="parquet",
+    ap.add_argument("--events-format", choices=["parquet", "jsonl", "warc"], default="parquet",
                     help="jsonl: interchange dumps (replay mode only; bad lines "
-                         "are dead-lettered to <work>/jsonl_dead_letter)")
+                         "are dead-lettered to <work>/jsonl_dead_letter); "
+                         "warc: Common-Crawl-style web archives (replay mode "
+                         "only; every response record becomes an insert, "
+                         "malformed records are skipped)")
     ap.add_argument("--table", required=True, help="lakehouse pages table path")
     ap.add_argument("--work", required=True, help="work dir (lineage, quarantine)")
     ap.add_argument("--mode", choices=["replay", "available-now", "stream"], default="replay")
@@ -78,8 +81,11 @@ def main() -> int:
                          "tracking-param/fragment-normalized); recorded in the "
                          "commit log — reopening with the other mode is refused")
     args = ap.parse_args()
-    if args.events_format == "jsonl" and args.mode != "replay":
-        ap.error("--events-format jsonl supports --mode replay only (streaming tails parquet logs)")
+    if args.events_format in ("jsonl", "warc") and args.mode != "replay":
+        ap.error(
+            f"--events-format {args.events_format} supports --mode replay only "
+            "(streaming tails parquet logs)"
+        )
 
     evolutions = None
     if args.schema_evolutions:
@@ -121,6 +127,10 @@ def main() -> int:
             # dead-letter the unparsable lines beside the pipeline's own
             # quarantine store so operators find both in one place
             bad.write.mode("overwrite").parquet(f"{args.work}/jsonl_dead_letter")
+        elif args.events_format == "warc":
+            from cosmwasm_etl_spark.sources.warc import read_warc
+
+            events = read_warc(spark, args.events, on_error="skip")
         else:
             events = spark.read.parquet(args.events)
         stats = pipe.run_replay(
