@@ -36,7 +36,10 @@ exchange cost; all default off):
                     expected-w copies per doc (explode projection);
 - ``--shuffle-shards`` deterministic training order as (shard,
                     shard_pos) — one window exchange partitioned by
-                    shard, never a global sort.
+                    shard, never a global sort;
+- ``--max-dup-span-frac`` RefinedWeb-style duplicated-substring-span
+                    coverage filter (span-stats chain + id semi-join;
+                    see build_corpus_plan for the persist note).
 
 Scale shape: the base plan has exactly one wide exchange (the dedup
 groupBy); the filter and split are projections fused into the same stage;
@@ -75,6 +78,8 @@ def build_corpus_plan(
     redact: bool = False,
     resample: dict[str, float] | None = None,
     shuffle_shards: int = 0,
+    max_dup_span_frac: float | None = None,
+    span_k: int = 8,
 ):
     """The full logical plan + its Observation (importable for tests).
 
@@ -118,6 +123,24 @@ def build_corpus_plan(
         flagged = benchmark_overlap(kept, eval_set, min_overlap=min_overlap)
         clean_ids = flagged.filter(~F.col("contaminated")).select("doc_id")
         kept = kept.join(clean_ids, "doc_id", "left_semi")
+
+    if max_dup_span_frac is not None:
+        # RefinedWeb-style span filter: drop docs whose duplicated
+        # substring-span coverage exceeds the threshold (boilerplate-heavy
+        # pages exact dedup can't catch). Cost: the span-stats chain's
+        # exchanges plus one id semi-join, and the span branch recomputes
+        # the surviving-docs lineage — at deployment scale persist `kept`
+        # before enabling this stage. Short docs (< span_k tokens, zero
+        # windows) carry no evidence and are kept.
+        from cosmwasm_etl_spark.functions.dedup import substring_span_stats
+
+        spans = substring_span_stats(kept, text_col="text", id_col="doc_id", k=span_k)
+        n_tokens = F.col("n_windows") + F.lit(span_k - 1)
+        ok_ids = spans.filter(
+            (F.col("n_windows") == 0)
+            | (F.col("dup_tokens") / n_tokens <= F.lit(max_dup_span_frac))
+        ).select("doc_id")
+        kept = kept.join(ok_ids, "doc_id", "left_semi")
 
     if redact:
         from cosmwasm_etl_spark.functions.redaction import redact_pii
@@ -192,6 +215,11 @@ def main() -> None:
     ap.add_argument("--shuffle-shards", type=int, default=0,
                     help="emit deterministic training order as (shard, shard_pos); "
                          "0 disables")
+    ap.add_argument("--max-dup-span-frac", type=float, default=None,
+                    help="drop docs whose duplicated substring-span coverage "
+                         "(dup_tokens / n_tokens at --span-k) exceeds this "
+                         "fraction; unset disables the stage")
+    ap.add_argument("--span-k", type=int, default=8)
     args = ap.parse_args()
     weights = parse_weights(args.weights)
 
@@ -209,6 +237,8 @@ def main() -> None:
         redact=args.redact,
         resample=parse_weights(args.resample) if args.resample else None,
         shuffle_shards=args.shuffle_shards,
+        max_dup_span_frac=args.max_dup_span_frac,
+        span_k=args.span_k,
     )
     if args.out_partitions:
         observed = observed.repartition(args.out_partitions, "doc_id")

@@ -146,3 +146,36 @@ def test_corpus_prep_full_composition(spark, tmp_path):
     assert groups and all(
         sorted(v) == list(range(1, len(v) + 1)) for v in groups.values()
     )
+
+
+def test_dup_span_filter_drops_stitched_docs(spark):
+    """--max-dup-span-frac: a doc half-stitched from another doc's text is
+    dropped; the (longer) source doc and unrelated docs survive. Both runs
+    share the same plan builder so the only delta is the span stage."""
+    job = _load_job()
+    import string
+
+    def words(n, salt):
+        # distinct 6-char words (pass Gopher: mean len 6, no repetition)
+        return [f"w{salt}{string.ascii_lowercase[i % 26]}{i:03d}" for i in range(n)]
+
+    a = words(32, "a")                      # long original
+    b = a[:8] + words(8, "b")               # 8-token span stitched from a
+    c = words(16, "c")                      # clean control
+    rows = [
+        (1, " ".join(a), len(" ".join(a))),
+        (2, " ".join(b), len(" ".join(b))),
+        (3, " ".join(c), len(" ".join(c))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, n_chars: long")
+    weights = {"train": 1.0}
+
+    base, _, _ = job.build_corpus_plan(docs, weights, seed=1)
+    assert {r.doc_id for r in base.collect()} == {1, 2, 3}
+
+    filtered, _, _ = job.build_corpus_plan(
+        docs, weights, seed=1, max_dup_span_frac=0.4, span_k=8
+    )
+    # doc 1: dup_tokens 8 / 32 tokens = 0.25 <= 0.4 -> kept
+    # doc 2: dup_tokens 8 / 16 tokens = 0.50 >  0.4 -> dropped
+    assert {r.doc_id for r in filtered.collect()} == {1, 3}
