@@ -32,6 +32,21 @@ def normalized_text(text_col):
     return F.concat_ws(" ", tokens(text_col))
 
 
+def _materialize(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint an expensive intermediate that downstream
+    plans reference MORE THAN ONCE (self-joins, verify joins).
+
+    Without the cut, Catalyst inlines the producing expression tree into
+    every consumer: a band self-join whose two sides each re-tokenize the
+    corpus pays the regexp/shingle pass 2×, and AQE's broadcast rewrite
+    breaks the ReusedExchange that `repartition` used to buy (measured on
+    minhash_lsh_pairs: 6 full tokenize passes of the corpus in one query).
+    localCheckpoint stores the computed rows on executors (MEMORY_AND_DISK,
+    no driver collect) — the guide-§8 "compute the fingerprint pass once"
+    materialization, scoped to the query's lifetime."""
+    return df.localCheckpoint(eager=True)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative per exact (normalized) text.
 
@@ -68,9 +83,15 @@ def ngram_jaccard_pairs(
     (shingles with df > cap), so its anti-join side is broadcast. None
     disables the cap (exact textbook Jaccard).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh")
+    # tokenize+shingle ONCE: the exploded stream below feeds the hot-set
+    # build, the per-doc sizes and BOTH self-join sides — uncut, each
+    # consumer re-runs the regexp tokenization over the corpus (4 passes)
+    base = _materialize(
+        df.select(
+            F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), n)).alias("__sharr")
+        ).filter(F.size("__sharr") > 0)
     )
+    sh = base.select("id", F.explode("__sharr").alias("sh"))
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("sh")
@@ -169,13 +190,30 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 32, n
     base = df.select(F.col(id_col).alias("id"), harr.alias("__harr")).filter(
         F.size("__harr") > 0
     )
-    cols = [
+    return base.select("id", *_minhash_cols(F.col("__harr"), k, seed))
+
+
+def _minhash_cols(harr_col, k: int, seed: int) -> list:
+    """The k minhash columns over an already-computed distinct-shingle-hash
+    array column (factored so :func:`minhash_lsh_pairs` can feed them from a
+    materialized base — values identical to :func:`minhash_signatures`)."""
+    return [
         F.array_min(
-            F.transform("__harr", lambda h: F.xxhash64(F.lit(seed + i), h))
+            F.transform(harr_col, lambda h: F.xxhash64(F.lit(seed + i), h))
         ).alias(f"mh_{i}")
         for i in range(k)
     ]
-    return base.select("id", *cols)
+
+
+def _band_cols(k: int, bands: int) -> list:
+    """Banded xxhash64 columns over mh_0..mh_{k-1} (shared formula — the
+    ingest index's replay-equivalence invariant needs band-for-band
+    agreement with the batch pass)."""
+    r = k // bands
+    return [
+        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
 
 
 def minhash_bands(
@@ -195,13 +233,8 @@ def minhash_bands(
     (:class:`cosmwasm_etl_spark.operators.ingest_dedup.IngestNearDupIndex`),
     which must agree band-for-band for the index's replay-equivalence
     invariant to hold."""
-    r = k // bands
     sig = minhash_signatures(df, text_col, id_col, k=k, n=n, seed=seed)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + j}") for j in range(r)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    return sig.select("id", *band_cols)
+    return sig.select("id", *_band_cols(k, bands))
 
 
 def minhash_lsh_pairs(
@@ -220,18 +253,28 @@ def minhash_lsh_pairs(
     recall ≥ .97 at jaccard .8. Candidate generation is groupBy(band,hash) —
     one shuffle over |docs|·bands rows; verification touches only candidates.
     """
-    banded = minhash_bands(df, text_col, id_col, n=n, k=k, bands=bands, seed=seed)
+    # tokenize+shingle ONCE: the distinct-shingle array is needed by the
+    # signature pass AND both exact-verify join sides — materialized, not
+    # recomputed per consumer (the previous repartition-for-ReusedExchange
+    # trick stopped working once AQE rewrote the band self-join to a
+    # broadcast join: the plan showed SIX full tokenize passes)
+    base = _materialize(
+        df.select(
+            F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
+        ).filter(F.size("sh") > 0)
+    )
+    banded = base.select("id", *_minhash_cols(F.col("sh"), k, seed)).select(
+        "id", *_band_cols(k, bands)
+    )
     stacked = banded.select(
         "id",
         F.explode(
             F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h")) for b in range(bands)])
         ).alias("bh"),
     ).select("id", F.col("bh.band").alias("band"), F.col("bh.h").alias("h"))
-    # one explicit exchange on the join keys: both sides of the self-join
-    # reuse it (ReusedExchange), so the zero-shuffle signature projection is
-    # computed exactly ONCE — without it each join side would re-hash every
-    # shingle from the scan
-    stacked = stacked.repartition("band", "h")
+    # materialize the (tiny: |docs|·bands narrow rows) banded stream too:
+    # the k·|shingles| signature hashing runs once, not once per join side
+    stacked = _materialize(stacked)
     cand = (
         stacked.alias("a")
         .join(stacked.alias("b"), ["band", "h"])
@@ -239,8 +282,9 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # exact-Jaccard verification of candidates only
-    sh = df.select(F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), n)).alias("sh"))
+    # exact-Jaccard verification of candidates only (shingle arrays read
+    # from the materialized base)
+    sh = base
     verified = (
         cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -312,7 +356,10 @@ def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     verify hamming distance with bit_count. Token-less docs (simhash NULL)
     are excluded from banding — they carry no content signal and would
     otherwise form one quadratic all-pairs bucket."""
-    h = (
+    # materialize (id, simhash): one narrow row per doc. Both band-join
+    # sides consume it — uncut, the explode+64-vote aggregate (the whole
+    # tokenize + hash pass) runs twice
+    h = _materialize(
         simhash64(df.select(F.col(id_col).alias("id"), text_col), text_col)
         .select("id", "simhash")
         .filter(F.col("simhash").isNotNull())
@@ -455,9 +502,17 @@ def substring_span_stats(
 
     from cosmwasm_etl_spark.functions.text import shingle_hashes
 
-    base = docs.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("toks"))
-    w = base.select(
-        "__id", F.posexplode(shingle_hashes(F.col("toks"), k)).alias("pos", "h")
+    # tokenize ONCE (materialized): the token arrays feed the window-hash
+    # stream, the candidate substring slicing AND the n_windows projection
+    base = _materialize(
+        docs.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("toks"))
+    )
+    # ... and hash each window once: the stream is consumed by the dup-hash
+    # build and the candidate probe side
+    w = _materialize(
+        base.select(
+            "__id", F.posexplode(shingle_hashes(F.col("toks"), k)).alias("pos", "h")
+        )
     )
     dup_h = (
         w.groupBy("h").agg(F.count(F.lit(1)).alias("nh")).filter(F.col("nh") > 1).select("h")
@@ -506,9 +561,9 @@ def substring_span_stats(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s")).alias("dup_tokens"),
     )
-    out = docs.select(
-        F.col(id_col).alias("__id"),
-        F.greatest(F.size(tokens(F.col(text_col))) - F.lit(k - 1), F.lit(0))
+    out = base.select(
+        "__id",
+        F.greatest(F.size("toks") - F.lit(k - 1), F.lit(0))
         .cast("long")
         .alias("n_windows"),
     ).join(dup_stats, "__id", "left")

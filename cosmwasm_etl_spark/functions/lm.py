@@ -71,17 +71,25 @@ def bigram_lm_score(
     ``cross_entropy`` is in nats (mean -ln P over bigram positions),
     ``ppl = exp(cross_entropy)``; both rounded to 6 decimals.
     """
-    base = docs.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("toks"))
-    bg = base.select(
-        "__id", F.explode(bigram_structs(F.col("toks"))).alias("b")
-    ).select("__id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    from cosmwasm_etl_spark.functions.dedup import _materialize
+
+    # tokenize ONCE (materialized): the token arrays feed the bigram
+    # stream AND the vocabulary count (which fires its own action below)
+    base = _materialize(
+        docs.select(F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("toks"))
+    )
+    # ... and build the bigram stream once: it is consumed by the count
+    # aggregation AND the scoring probe side — uncut, the explode (and the
+    # whole tokenize, before base was materialized) ran once per consumer
+    bg = _materialize(
+        base.select(
+            "__id", F.explode(bigram_structs(F.col("toks"))).alias("b")
+        ).select("__id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
 
     # model: corpus-wide counts. c1 is the bigram-PREFIX count (sum over
     # w2 of c2), the correct conditional-probability denominator — derived
-    # FROM c2 so the bigram stream is aggregated once, not twice. (At
-    # deployment scale, `.persist()` bg so the training pass and scoring
-    # pass share one tokenize; at oracle scale the double scan is cheaper
-    # than the cache write.)
+    # FROM c2 so the bigram stream is aggregated once, not twice.
     c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
     # vocabulary size: distinct tokens corpus-wide (driver scalar, same

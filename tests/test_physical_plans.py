@@ -145,7 +145,9 @@ def test_gopher_quality_is_zero_shuffle_projection(spark, sf_dir):
     from cosmwasm_etl_spark.queries import q_gopher_quality
 
     plan = _plan(q_gopher_quality(spark, sf_dir))
-    assert "Exchange" not in plan
+    # no hash exchange (the only allowed exchange is the scale-adaptive
+    # round-robin scan spread, which is a no-op at corpus scale)
+    assert "Exchange hashpartitioning" not in plan
     assert "Generate" not in plan  # no explode anywhere
 
 
@@ -156,7 +158,9 @@ def test_dataset_split_single_exchange_and_pruned_scan(spark, sf_dir):
 
     df = q_dataset_split(spark, sf_dir)
     plan = _plan(df)
-    assert plan.count("Exchange") == 1
+    # one hash exchange (the final 3-group aggregate); the scale-adaptive
+    # round-robin scan spread is the only other exchange allowed
+    assert plan.count("Exchange hashpartitioning") == 1
     fmt = _formatted(df)
     read_schema = fmt.split("ReadSchema")[1].splitlines()[0]
     assert "text" not in read_schema  # column pruning reached the scan
