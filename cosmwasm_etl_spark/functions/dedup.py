@@ -92,7 +92,12 @@ def ngram_jaccard_pairs(
         ).filter(F.size("__sharr") > 0)
     )
     sh = base.select("id", F.explode("__sharr").alias("sh"))
-    if max_shingle_df is not None:
+    # the cap can only bind when some shingle's document frequency can
+    # exceed it — df(shingle) <= n_docs by construction (per-doc distinct
+    # shingles), so for corpora smaller than the cap the hot-set build (a
+    # full aggregation over the exploded stream) is provably a no-op and
+    # is skipped. base is materialized, so the count is a cache read.
+    if max_shingle_df is not None and base.count() > max_shingle_df:
         hot = (
             sh.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
@@ -190,17 +195,19 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str, k: int = 32, n
     base = df.select(F.col(id_col).alias("id"), harr.alias("__harr")).filter(
         F.size("__harr") > 0
     )
-    return base.select("id", *_minhash_cols(F.col("__harr"), k, seed))
+    return base.select("id", *_minhash_cols("__harr", k, seed))
 
 
-def _minhash_cols(harr_col, k: int, seed: int) -> list:
+def _minhash_cols(harr_name: str, k: int, seed: int) -> list:
     """The k minhash columns over an already-computed distinct-shingle-hash
     array column (factored so :func:`minhash_lsh_pairs` can feed them from a
-    materialized base — values identical to :func:`minhash_signatures`)."""
+    materialized base — values identical to :func:`minhash_signatures`).
+    Built as SQL strings: k Column-object transform lambdas cost hundreds
+    of py4j round trips of driver-side build time (see simhash64)."""
     return [
-        F.array_min(
-            F.transform(harr_col, lambda h: F.xxhash64(F.lit(seed + i), h))
-        ).alias(f"mh_{i}")
+        F.expr(f"array_min(transform({harr_name}, h -> xxhash64({seed + i}, h)))").alias(
+            f"mh_{i}"
+        )
         for i in range(k)
     ]
 
@@ -263,7 +270,7 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("id"), F.array_distinct(shingles(F.col(text_col), n)).alias("sh")
         ).filter(F.size("sh") > 0)
     )
-    banded = base.select("id", *_minhash_cols(F.col("sh"), k, seed)).select(
+    banded = base.select("id", *_minhash_cols("sh", k, seed)).select(
         "id", *_band_cols(k, bands)
     )
     stacked = banded.select(
@@ -318,27 +325,49 @@ def simhash64(
     CJK/Cyrillic/Greek documents, hash every non-Latin doc identically, and
     degrade the band join to all-pairs on that bucket (regression-tested
     with a CJK corpus in tests/test_training_ops.py)."""
+    # Wide expressions below are built as SQL strings (ONE py4j round trip
+    # per selectExpr/expr) — the equivalent Column-object construction costs
+    # ~700 py4j calls ≈ 1.1 s of pure driver-side build time per query,
+    # comparable to the whole execution at bench scale.
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode_outer(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("tok"),
-    ).withColumn("th", F.xxhash64("tok"))
-    votes = [
-        F.sum(
-            F.when(
-                F.col("tok").isNull(), F.lit(0)  # explode_outer keeps empty docs
-            ).otherwise(
-                F.shiftright(F.col("th"), b).bitwiseAND(F.lit(1)).cast("long") * 2 - 1
-            )
-        ).alias(f"v{b}")
-        for b in range(64)
+    ).selectExpr(
+        "id",
+        "tok",
+        # one null-guard per ROW (explode_outer keeps empty docs as a NULL
+        # token; zero contributes nothing to any bit count below), instead
+        # of one per (row x bit) inside 64 aggregate expressions
+        "CASE WHEN tok IS NULL THEN 0L ELSE xxhash64(tok) END AS th0",
+    )
+    # SWAR bit-position counting: (th >> j) & 0x0000000100000001 extracts
+    # bits j and j+32 into independent 32-bit lanes of one long, so 32
+    # packed sums count all 64 bit positions (2x fewer aggregate buffers
+    # and far simpler per-row expressions than 64 ±1 vote sums). Lanes
+    # cannot carry into each other below 2^32 tokens per doc. The sign vote
+    # "sum(±1) > 0" is equivalently "2*count_ones > n_tokens".
+    lane_mask = (1 << 32) | 1
+    sums = [
+        F.expr(f"sum(shiftright(th0, {j}) & {lane_mask}L)").alias(f"s{j}")
+        for j in range(32)
     ]
-    agg = toks.groupBy("id").agg(F.count("tok").alias("__ntok"), *votes)
-    bits = [
-        F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
-        for b in range(64)
-    ]
-    out = agg.select(
-        "id", F.when(F.col("__ntok") > 0, _sum_cols(bits)).alias(out_col)
+    agg = toks.groupBy("id").agg(F.count("tok").alias("__ntok"), *sums)
+    low32 = (1 << 32) - 1
+
+    def _count(b: int) -> str:
+        return (
+            f"(s{b} & {low32}L)" if b < 32 else f"(shiftright(s{b - 32}, 32) & {low32}L)"
+        )
+
+    def _bit_lit(b: int) -> int:  # two's-complement long for bit 63
+        v = 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    bits = " + ".join(
+        f"IF(2 * {_count(b)} > __ntok, {_bit_lit(b)}L, 0L)" for b in range(64)
+    )
+    out = agg.selectExpr(
+        "id", f"CASE WHEN __ntok > 0 THEN ({bits}) END AS {out_col}"
     )
     return out.withColumnRenamed("id", id_col)
 

@@ -362,17 +362,26 @@ def train_ivf_centroids(
     return cents
 
 
-def _cell_scores(vec_col, centroids: list[list[float]]):
+def _cell_scores(vec_name: str, centroids: list[list[float]]):
     """array<double> of dot(v, c_i), one per centroid, as a Column.
 
     The centroid matrix is ONE nested array literal (constant-folded by
     Catalyst) and the dot product ONE transform lambda over it — not
     n_cells copies of the fold expression: with 16x64 literals inlined per
     copy, planning/codegen of the duplicated tree costs seconds per query
-    regardless of data size. ``vec_col`` must be a plain attribute
-    reference (cheap to re-read inside the lambda)."""
-    cents = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
-    return F.transform(cents, lambda c: _dot(vec_col, c))
+    regardless of data size. Built as ONE SQL string: the nested-F.lit
+    Column form costs n_cells x dim py4j round trips (~1 s of driver-side
+    build time for 16x64) before Spark ever sees the plan. Double literals
+    use repr() (shortest round-trip) + 'D', which parses to the identical
+    IEEE value F.lit produced. ``vec_name`` is the attribute NAME of the
+    vector column (cheap to re-read inside the lambda)."""
+    cents = "array(" + ", ".join(
+        "array(" + ", ".join(f"{float(x)!r}D" for x in c) + ")" for c in centroids
+    ) + ")"
+    return F.expr(
+        f"transform({cents}, c -> aggregate(zip_with({vec_name}, c, (x, y) -> x * y),"
+        " 0.0D, (acc, v) -> acc + v))"
+    )
 
 
 def ivf_cell(scores_col):
@@ -430,7 +439,7 @@ def ivf_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
-            _cell_scores(F.col(vec_col), centroids).alias("__s"),
+            _cell_scores(vec_col, centroids).alias("__s"),
         )
         .select("neighbor_id", "__cv", ivf_cell(F.col("__s")).alias("cell"))
     )
@@ -438,7 +447,7 @@ def ivf_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qv"),
-            _cell_scores(F.col(vec_col), centroids).alias("__s"),
+            _cell_scores(vec_col, centroids).alias("__s"),
         )
         .select(
             "query_id",

@@ -70,12 +70,16 @@ def connected_components(
         nbrs = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
         mins = nbrs.groupBy("a").agg(F.min("b").alias("mn"))
         mins = mins.select("a", F.least(F.col("mn"), F.col("a")).alias("m"))
+        # no intermediate distinct: duplicate (a, m) rows cannot exceed the
+        # undirected edge count (one row per nbr edge with b > a), min()
+        # downstream is duplicate-insensitive, and the end-of-round
+        # _canonical distinct still bounds the next round's edge set — so
+        # deduping here bought nothing but one extra exchange per round
         large = (
             nbrs.join(mins, "a")
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # ---- small-star: edges are now oriented a > b; every smaller
         # neighbor (and u itself) links to the minimum

@@ -58,8 +58,17 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df.repartition(par) if n < par else df
 
 
+# tables whose queries do heavy PER-ROW compute (tokenize/shingle/vector
+# folds): spreading a one-split scan across cores wins big there (measured
+# gopher_quality 3.2 s → 0.6 s). Row-light tables (events/lineitem) are
+# NOT spread — their queries immediately hash-exchange anyway, and the
+# extra round-robin pass measurably costs more than it saves.
+_SPREAD_TABLES = {"documents", "embeddings"}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return _spread(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _spread(spark, df) if name in _SPREAD_TABLES else df
 
 
 # =====================================================================
