@@ -343,6 +343,12 @@ class CdcPipeline:
             # superset of the python ratio rule on the fixtures)
             q_err = F.when(~is_ok_fast, F.lit("invalid_encoding"))
         else:
+            # r6 A/B note: a residue-branch form (python arbiter on a
+            # second events.filter(~is_ok_fast) scan, joined back as a
+            # broadcast bad-list) was measured SLOWER (3.3 s vs 2.6 s per
+            # 250k-event plan): the duplicated utf8-validity scan over the
+            # full batch costs more than this masked column's mostly-NULL
+            # Arrow channel. The masked single-scan form stands.
             q_err = check_quarantine_udf()(masked)
         ev = events.withColumn("__q_err", q_err).observe(
             obs,
@@ -599,6 +605,27 @@ class CdcPipeline:
             return []
         first_b, last_b = int(bounds[0]) // epochs_per_batch, int(bounds[1]) // epochs_per_batch
         done = self.table.committed_epochs()
+        # Deferred dead-letter capture overlaps the batch applies (guide
+        # §2.6: independent jobs back-fill each other's idle tails): the
+        # pass re-scans the whole log — measured 9 s of a 46 s 1M-event
+        # replay when run serially after the last batch — and reads/writes
+        # nothing the applies touch, so its wall time hides behind the
+        # batches' AQE barriers and write tails. Joined (and its errors
+        # re-raised) before this method returns, so callers still observe
+        # completed capture.
+        q_thread = None
+        q_err: list[BaseException] = []
+        if self.quarantine_mode == "deferred":
+            import threading
+
+            def _capture() -> None:
+                try:
+                    self._capture_quarantine(events, _DEFERRED_BATCH_ID)
+                except BaseException as e:  # noqa: BLE001 — re-raised on join
+                    q_err.append(e)
+
+            q_thread = threading.Thread(target=_capture, daemon=True)
+            q_thread.start()
         all_stats = []
         for b in range(first_b, last_b + 1):
             lo, hi = b * epochs_per_batch, (b + 1) * epochs_per_batch
@@ -616,14 +643,17 @@ class CdcPipeline:
                 all_stats.append(stats)
                 continue
             all_stats.append(self.apply_batch(chunk, b))
-        if self.quarantine_mode == "deferred":
+        if q_thread is not None:
             # single amortized dead-letter pass over the WHOLE log, written
             # to one fixed directory — unconditional (a crash-restarted
             # replay reports skipped batches with no n_quarantined, so
             # gating on stats would silently drop the capture) and
             # idempotent across re-replays over a grown log (same dir is
             # overwritten; no per-last-batch duplicate directories).
-            self._capture_quarantine(events, _DEFERRED_BATCH_ID)
+            # Started before the first batch; completed here.
+            q_thread.join()
+            if q_err:
+                raise q_err[0]
         return all_stats
 
     # ------------------------------------------------------------ reads
