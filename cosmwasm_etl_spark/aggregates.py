@@ -335,7 +335,7 @@ class WindowedStatsAggregates:
         # comparison on batch id would silently drop the accumulation when
         # batches are advanced out of id order (epoch idempotency alone
         # guards double-application).
-        res = self.pair30.merge_upserts(merged, epoch=batch_id, op_col=None, force=True)
+        res = self.pair30.merge_upserts(merged, epoch=batch_id, op_col=None, force=True, prestaged=True)
         return {"batch_id": batch_id, **res}
 
     def pair_stats_30m(self) -> DataFrame:
@@ -388,7 +388,7 @@ class WindowedStatsAggregates:
         )
         # force=True for the same reason as advance_pair30: merged rows are
         # unconditionally the newest accumulated state
-        res = self.acct.merge_upserts(merged, epoch=batch_id, op_col=None, force=True)
+        res = self.acct.merge_upserts(merged, epoch=batch_id, op_col=None, force=True, prestaged=True)
         return {"batch_id": batch_id, **res}
 
     def account_stats(self) -> DataFrame:

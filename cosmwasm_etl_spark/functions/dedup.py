@@ -32,19 +32,7 @@ def normalized_text(text_col):
     return F.concat_ws(" ", tokens(text_col))
 
 
-def _materialize(df: DataFrame) -> DataFrame:
-    """Eagerly localCheckpoint an expensive intermediate that downstream
-    plans reference MORE THAN ONCE (self-joins, verify joins).
-
-    Without the cut, Catalyst inlines the producing expression tree into
-    every consumer: a band self-join whose two sides each re-tokenize the
-    corpus pays the regexp/shingle pass 2×, and AQE's broadcast rewrite
-    breaks the ReusedExchange that `repartition` used to buy (measured on
-    minhash_lsh_pairs: 6 full tokenize passes of the corpus in one query).
-    localCheckpoint stores the computed rows on executors (MEMORY_AND_DISK,
-    no driver collect) — the guide-§8 "compute the fingerprint pass once"
-    materialization, scoped to the query's lifetime."""
-    return df.localCheckpoint(eager=True)
+from cosmwasm_etl_spark.util import materialize as _materialize  # noqa: E402
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

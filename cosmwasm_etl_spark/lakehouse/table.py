@@ -550,6 +550,35 @@ class LakeTable:
         self._maybe_checkpoint(v)
         return {"skipped": False, "version": v, "added_rows": sum(e["rows"] for e in adds)}
 
+    def commit_empty(self, epoch: int | None = None, note: str | None = None) -> dict:
+        """Zero-row epoch commit: records the epoch in the log with no data
+        files and NO Spark job. For incremental operators whose batch
+        provably contributes nothing (e.g. zero LSH band collisions) but
+        whose epoch bookkeeping must still advance for idempotent replay —
+        writing an empty DataFrame through the normal append would pay a
+        full (empty) write job per batch."""
+        st = self.state()
+        if epoch is not None and epoch in st.epochs:
+            return {"skipped": True, "reason": "epoch already committed", "epoch": epoch}
+        v = st.version + 1
+        self.log.write_commit(
+            v,
+            {
+                "operation": "append",
+                "summary": {
+                    "epoch": epoch,
+                    "added_rows": 0,
+                    "note": note,
+                    "ts": time.time(),
+                },
+                "schema": None,
+                "add": [],
+                "remove": [],
+            },
+        )
+        self._maybe_checkpoint(v)
+        return {"skipped": False, "version": v, "added_rows": 0}
+
     def merge_upserts(
         self,
         batch: DataFrame,
@@ -560,6 +589,7 @@ class LakeTable:
         extra_summary: dict | None = None,
         summary_fn=None,
         force: bool = False,
+        prestaged: bool = False,
     ) -> dict:
         """Copy-on-write MERGE — the engine's core upsert (S8/S9/W5 analog).
 
@@ -618,24 +648,39 @@ class LakeTable:
         # Affected buckets are read off the staged partitionBy directories,
         # and the resolution join re-reads the cheap staged files instead of
         # re-running the whole upstream pipeline.
-        stage_rel = os.path.join("stage", uuid.uuid4().hex)
-        stage_abs = os.path.join(self.path, stage_rel)
-        (
-            b0.repartition(max(st.num_buckets, 1), F.col(_BUCKET))
-            .write.partitionBy(_BUCKET)
-            .mode("overwrite")
-            .parquet(stage_abs)
-        )
-        affected = sorted(
-            int(d.split("=", 1)[1])
-            for d in os.listdir(stage_abs)
-            if d.startswith(f"{_BUCKET}=")
-        )
+        #
+        # ``prestaged=True``: executor-memory staging via localCheckpoint
+        # instead of a parquet write+read round trip — one Spark job less
+        # per merge. For SMALL incremental batches (aggregate partials,
+        # index resyncs) the parquet staging is pure overhead; the
+        # checkpoint gives the same exactly-once upstream execution. Keep
+        # the default (durable file staging) for payload-heavy batches.
+        stage_abs = None
+        if prestaged:
+            b0 = b0.localCheckpoint(eager=True)
+            affected = sorted(
+                int(r[0]) for r in b0.select(_BUCKET).distinct().collect()
+            )
+        else:
+            stage_rel = os.path.join("stage", uuid.uuid4().hex)
+            stage_abs = os.path.join(self.path, stage_rel)
+            (
+                b0.repartition(max(st.num_buckets, 1), F.col(_BUCKET))
+                .write.partitionBy(_BUCKET)
+                .mode("overwrite")
+                .parquet(stage_abs)
+            )
+            affected = sorted(
+                int(d.split("=", 1)[1])
+                for d in os.listdir(stage_abs)
+                if d.startswith(f"{_BUCKET}=")
+            )
         if not affected:
             # empty batch: commit only the epoch/watermark marker
             import shutil as _sh
 
-            _sh.rmtree(stage_abs, ignore_errors=True)
+            if stage_abs is not None:
+                _sh.rmtree(stage_abs, ignore_errors=True)
             v = st.version + 1
             # an empty micro-batch leaves every prior row in place: report the
             # PRIOR table row count, not 0 — metrics/audits reading the commit
@@ -651,7 +696,11 @@ class LakeTable:
             )
             self._maybe_checkpoint(v)
             return {"skipped": False, "version": v, "rows_after": prior_rows}
-        b = self.spark.read.option("basePath", stage_abs).parquet(stage_abs)
+        b = (
+            b0
+            if prestaged
+            else self.spark.read.option("basePath", stage_abs).parquet(stage_abs)
+        )
         old_entries = [e for e in st.files.values() if e["bucket"] in set(affected)]
         untouched_note = len(st.files) - len(old_entries)
 
@@ -710,7 +759,8 @@ class LakeTable:
         self._maybe_checkpoint(v)
         import shutil as _sh
 
-        _sh.rmtree(stage_abs, ignore_errors=True)
+        if stage_abs is not None:
+            _sh.rmtree(stage_abs, ignore_errors=True)
         return {"skipped": False, "version": v, "rows_after": summary["rows_after"]}
 
     def append_delta(

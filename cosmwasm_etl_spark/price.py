@@ -189,6 +189,16 @@ def _assemble_price_rows(last: DataFrame, rpt: DataFrame, base: str) -> DataFram
     """(height, token, method, price) rows from per-(pair, height) last-swap
     amounts + the (token, height) route price table — shared by the one-shot
     series and the incremental advance."""
+    from cosmwasm_etl_spark.util import materialize
+
+    # rpt is referenced by BOTH r_a and r_b below, and last by the direct
+    # branch AND the indirect join, each of which appears in two union
+    # branches — uncut, the route-scoring applyInPandas subtree re-executed
+    # FOUR times per assembly (measured 4.9 s → 1.6 s for one incremental
+    # price advance at sf0.01). Both frames are tiny (pairs/tokens x
+    # heights), so the cut is one cheap job each.
+    last = materialize(last)
+    rpt = materialize(rpt)
     direct = (
         last.filter((F.col("a") == base) | (F.col("b") == base))
         .select(
@@ -358,6 +368,12 @@ class IncrementalPrice:
                 ).alias("r1"),
             )
         )
+        from cosmwasm_etl_spark.util import materialize
+
+        # res_h feeds TWO separate actions (the price append below and the
+        # reserve-cursor merge after it) — materialized once, pairs x
+        # batch-heights rows only
+        res_h = materialize(res_h)
         rpt = route_price_table(
             self.spark, res_h, self.edges, self.base, self.threshold, self.max_hops
         )
@@ -380,7 +396,7 @@ class IncrementalPrice:
             F.col("__l.r1").alias("r1"),
         )
         r2 = self.reserves.merge_upserts(
-            latest, epoch=batch_id, op_col=None, order_cols=["height"]
+            latest, epoch=batch_id, op_col=None, order_cols=["height"], prestaged=True
         )
         return {"batch_id": batch_id, "prices": r1, "reserves": r2}
 
