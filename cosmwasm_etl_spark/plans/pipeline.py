@@ -340,8 +340,16 @@ class CdcPipeline:
         obs = Observation(f"cdc-batch-{batch_id}")
         if self.extractor == "jvm":
             # control path: JVM-only validity (is_valid_utf8 — a strict
-            # superset of the python ratio rule on the fixtures)
-            q_err = F.when(~is_ok_fast, F.lit("invalid_encoding"))
+            # superset of the python ratio rule on the fixtures). The
+            # dead-letter label distinguishes the two ways the fast check
+            # fires — truly invalid bytes vs a valid page containing a
+            # literal U+FFFD (r5 ADVICE #2); the capture SET is unchanged.
+            q_err = F.when(
+                ~is_ok_fast,
+                F.when(
+                    F.is_valid_utf8(F.col("html")), F.lit("replacement_char_literal")
+                ).otherwise(F.lit("invalid_encoding")),
+            )
         else:
             # r6 A/B note: a residue-branch form (python arbiter on a
             # second events.filter(~is_ok_fast) scan, joined back as a
@@ -517,7 +525,12 @@ class CdcPipeline:
             # Re-arbitrating with the python ratio rule here would silently
             # drop rows the two rules disagree on (e.g. a short page with
             # two invalid bytes: invalid UTF-8, but replacement ratio < 0.3).
-            q = candidates.withColumn("__q_err", F.lit("invalid_encoding"))
+            q = candidates.withColumn(
+                "__q_err",
+                F.when(
+                    F.is_valid_utf8(F.col("html")), F.lit("replacement_char_literal")
+                ).otherwise(F.lit("invalid_encoding")),
+            )
         else:
             q = candidates.withColumn(
                 "__q_err", check_quarantine_udf()(F.col("html"))
@@ -727,8 +740,13 @@ class CdcPipeline:
         is_ok_fast = _is_ok_fast_expr()
         if self.extractor == "jvm":
             # oracle mirrors the jvm apply path exactly: fast-path validity
-            # is the arbiter, extraction is the shared JVM expression
-            valid = events.filter(is_ok_fast)
+            # is the arbiter, extraction is the shared JVM expression.
+            # NULL-html rows: apply's `when(~is_ok_fast, ...)` yields a NULL
+            # error (row KEPT), but a bare filter(is_ok_fast) evaluates to
+            # NULL and would DROP the row — coalesce mirrors apply's null
+            # semantics so a NULL-html event cannot read as divergence
+            # (r5 ADVICE #1).
+            valid = events.filter(F.coalesce(is_ok_fast, F.lit(True)))
             winners = self._dedup(valid)
             alive = winners.filter(F.col("op") != "delete")
             return alive.withColumn("text", _jvm_extract_expr()).select(

@@ -56,13 +56,31 @@ def _maybe_gunzip(data: bytes) -> bytes:
     return data
 
 
-def parse_warc_bytes(data: bytes, on_error: str = "fail") -> list[dict]:
+def _unfold(lines: list[str]) -> list[str]:
+    """Join ISO 28500 folded continuation lines (leading SP/HT) onto the
+    previous header value — without this, a folded value is mis-parsed as a
+    bogus standalone header (r5 ADVICE #5; real Common Crawl dumps fold)."""
+    out: list[str] = []
+    for line in lines:
+        if line[:1] in (" ", "\t") and out:
+            out[-1] += " " + line.strip()
+        else:
+            out.append(line)
+    return out
+
+
+def parse_warc_bytes(
+    data: bytes, on_error: str = "fail", skips: list[int] | None = None
+) -> list[dict]:
     """Parse one WARC file's bytes into a list of response-record dicts
     ``{url, warc_ts (ISO str), html (bytes), lang}`` in file order.
 
     ``on_error='skip'`` drops malformed records (and keeps scanning from the
     next well-formed version line); ``'fail'`` raises ValueError with the
-    byte offset. Pure function — unit-testable without Spark.
+    byte offset. ``skips`` (optional list) receives the byte offset of every
+    skipped record so callers can SURFACE drop counts instead of losing
+    records silently (r5 ADVICE #3). Pure function — unit-testable without
+    Spark.
     """
     if on_error not in ("fail", "skip"):
         raise ValueError(f"unknown on_error: {on_error}")
@@ -84,7 +102,7 @@ def parse_warc_bytes(data: bytes, on_error: str = "fail") -> list[dict]:
                 raise ValueError(f"unterminated WARC header at offset {pos}")
             header_block = data[pos:hdr_end].decode("utf-8", errors="replace")
             headers: dict[str, str] = {}
-            for line in header_block.split("\r\n")[1:]:
+            for line in _unfold(header_block.split("\r\n")[1:]):
                 k, _, v = line.partition(":")
                 if _:
                     headers[k.strip().lower()] = v.strip()
@@ -111,7 +129,7 @@ def parse_warc_bytes(data: bytes, on_error: str = "fail") -> list[dict]:
                     raise ValueError(f"response block has no HTTP header end at offset {pos}")
                 http_headers = block[:http_hdr_end].decode("latin-1")
                 lang = None
-                for line in http_headers.split("\r\n")[1:]:
+                for line in _unfold(http_headers.split("\r\n")[1:]):
                     k, _, v = line.partition(":")
                     if _ and k.strip().lower() == "content-language":
                         lang = v.strip().split(",")[0].split("-")[0].lower() or None
@@ -128,6 +146,8 @@ def parse_warc_bytes(data: bytes, on_error: str = "fail") -> list[dict]:
         except ValueError:
             if on_error == "fail":
                 raise
+            if skips is not None:
+                skips.append(pos)
             nxt = data.find(b"\r\nWARC/", pos + 1)
             if nxt < 0:
                 break
@@ -140,6 +160,7 @@ def read_warc(
     path: str,
     on_error: str = "fail",
     base_epoch: int = 0,
+    skip_counter=None,
 ) -> DataFrame:
     """Read a directory (or glob) of ``*.warc`` / ``*.warc.gz`` files as
     change events (EVENT_SCHEMA): every response record becomes one
@@ -149,6 +170,17 @@ def read_warc(
     ``CdcPipeline.run_replay`` (or write it with ``write_event_log``) for
     an archive bootstrap; latest-wins dedup handles recrawled urls exactly
     like live updates.
+
+    Rank stability caveat (r5 ADVICE #4): ranks come from the sorted
+    listing of the CURRENT directory, so re-ingesting a grown archive only
+    preserves committed epochs when the archive is APPEND-ONLY with
+    lexically increasing names (Common Crawl's segment/file naming is).
+    Inserting a file that sorts before existing ones shifts every later
+    rank — treat that as a new archive (fresh table), not a resume.
+
+    ``skip_counter``: optional Spark accumulator; with ``on_error='skip'``
+    it receives the number of malformed records dropped, so callers can
+    surface the loss instead of silently swallowing it (r5 ADVICE #3).
     """
     files = spark.read.format("binaryFile").load(path).select("path", "content")
     # one tiny metadata listing for stable ranks (paths only, no bytes)
@@ -160,7 +192,11 @@ def read_warc(
             rows = []
             for p, content in zip(b["path"], b["content"]):
                 ep = base_epoch + rank[p]
-                for i, rec in enumerate(parse_warc_bytes(bytes(content), on_error=on_error)):
+                skips: list[int] = []
+                recs = parse_warc_bytes(bytes(content), on_error=on_error, skips=skips)
+                if skips and skip_counter is not None:
+                    skip_counter.add(len(skips))
+                for i, rec in enumerate(recs):
                     ts = pd.Timestamp(rec["warc_ts"])
                     if ts.tzinfo is not None:
                         ts = ts.tz_convert("UTC").tz_localize(None)

@@ -42,8 +42,12 @@ def main() -> int:
                     help="jsonl: interchange dumps (replay mode only; bad lines "
                          "are dead-lettered to <work>/jsonl_dead_letter); "
                          "warc: Common-Crawl-style web archives (replay mode "
-                         "only; every response record becomes an insert, "
-                         "malformed records are skipped)")
+                         "only; every response record becomes an insert; see "
+                         "--warc-on-error for malformed-record handling)")
+    ap.add_argument("--warc-on-error", choices=["skip", "fail"], default="skip",
+                    help="skip: drop malformed WARC records and write a count "
+                         "to <work>/warc_skip_summary.json; fail: abort on the "
+                         "first malformed record")
     ap.add_argument("--table", required=True, help="lakehouse pages table path")
     ap.add_argument("--work", required=True, help="work dir (lineage, quarantine)")
     ap.add_argument("--mode", choices=["replay", "available-now", "stream"], default="replay")
@@ -130,13 +134,27 @@ def main() -> int:
         elif args.events_format == "warc":
             from cosmwasm_etl_spark.sources.warc import read_warc
 
-            events = read_warc(spark, args.events, on_error="skip")
+            warc_skips = spark.sparkContext.accumulator(0)
+            events = read_warc(
+                spark, args.events, on_error=args.warc_on_error,
+                skip_counter=warc_skips,
+            )
         else:
             events = spark.read.parquet(args.events)
         stats = pipe.run_replay(
             events, epochs_per_batch=args.epochs_per_batch,
             schema_evolutions=evolutions,
         )
+        if args.events_format == "warc" and args.warc_on_error == "skip":
+            # surface dropped malformed records beside the quarantine store
+            # (r5 ADVICE #3) — silent loss is not an operator experience
+            import json as _json
+
+            with open(f"{args.work}/warc_skip_summary.json", "w") as fh:
+                _json.dump({"skipped_records": warc_skips.value}, fh)
+            if warc_skips.value:
+                print(f"WARC: skipped {warc_skips.value} malformed records "
+                      f"(see {args.work}/warc_skip_summary.json)")
     elif args.mode == "available-now":
         stats = run_stream_available_now(
             spark, pipe, args.events, ckpt,
