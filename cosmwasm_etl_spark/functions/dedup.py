@@ -360,12 +360,6 @@ def simhash64(
     return out.withColumnRenamed("id", id_col)
 
 
-def _sum_cols(cols):
-    acc = cols[0]
-    for c in cols[1:]:
-        acc = acc + c
-    return acc
-
 
 def simhash_near_dups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into 4×16-bit keys
