@@ -48,14 +48,32 @@ def build_session(
         # pruning (retention) — and Iceberg mandates int64 timestamps anyway
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Vectorized-reader batch size bounded so wide BINARY cells (8 KB
+        # html pages) build ~8 MB value arrays instead of the default
+        # 4096-row ~32 MB ones: with an 8 g heap G1 regions are 4 MB, so a
+        # 32 MB byte[] is a humongous allocation needing 8 CONTIGUOUS free
+        # regions — under two concurrent scans of the event log (batch
+        # apply + overlapped dead-letter capture) fragmentation made that
+        # reservation fail intermittently (observed: "Cannot reserve
+        # additional contiguous bytes in the vectorized reader", fatal to
+        # the whole local JVM). 1024 rows keeps narrow-table scan batches
+        # plenty large while making payload-column vectors region-sized.
+        .config(
+            "spark.sql.parquet.columnarReaderBatchSize",
+            os.environ.get("SPARK_GRAFT_PARQUET_BATCH", "1024"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    jvm_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
-    if jvm_opts:  # e.g. GC selection for benchmark experiments
-        builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
+    # 32 MB G1 regions raise the humongous-allocation threshold to 16 MB,
+    # so the reader's payload-column arrays (and 16 MB Arrow batches) are
+    # regular allocations G1 can place anywhere — belt to the
+    # columnarReaderBatchSize suspender above. User opts come LAST so an
+    # explicit SPARK_GRAFT_JAVA_OPTS flag overrides the default.
+    jvm_opts = ("-XX:G1HeapRegionSize=32m " + os.environ.get("SPARK_GRAFT_JAVA_OPTS", "")).strip()
+    builder = builder.config("spark.driver.extraJavaOptions", jvm_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
