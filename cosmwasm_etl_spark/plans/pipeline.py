@@ -449,7 +449,18 @@ class CdcPipeline:
         batch = ok.select(*cols)
 
         def _merged_obs() -> dict:
-            got = obs.get
+            try:
+                got = obs.get
+            except Exception:
+                # An ALL-EMPTY micro-batch (a gap in the epoch sequence) can
+                # collapse to a plan whose CollectMetrics node never runs
+                # (AQE empty-relation propagation), leaving the observation
+                # unfilled — Observation.get then raises a JVM assertion.
+                # Confirm the batch really was empty before degrading to
+                # zero counts; anything else must surface.
+                if not ev.isEmpty():
+                    raise
+                return {"n": 0, "max_seq": None, "min_seq": None, "nq": 0}
             return {
                 "n": int(got["n"] or 0),
                 "max_seq": got["max_seq"],
@@ -690,7 +701,12 @@ class CdcPipeline:
     # alias kept for clarity in evolution tests
     pages_evolved = pages
 
-    def pages_for(self, urls: DataFrame) -> DataFrame:
+    def pages_for(
+        self,
+        urls: DataFrame,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
         """Live pages for a bounded url set — the keyed-subset read.
 
         Two scale properties :meth:`pages` cannot give a point lookup:
@@ -699,16 +715,24 @@ class CdcPipeline:
         the MOR latest-wins resolution runs AFTER the key filter, over the
         matched rows only — never over the corpus. The bucket set is one
         tiny driver-side collect (≤ num_buckets ints), the same bookkeeping
-        MERGE derives from its staged batch."""
+        MERGE derives from its staged batch — or zero jobs when the caller
+        already knows it (``buckets=``, e.g. from a batch commit's file
+        metadata). ``include_deleted=True`` keeps resolved tombstone rows
+        (with their ``deleted`` flag) instead of filtering to live pages —
+        the shape derived-state resyncs need to distinguish "deleted" from
+        "never existed" without a second anti-join pass."""
         st = self.table.state()
-        buckets = [
-            r["b"]
-            for r in urls.select(
-                self.table._bucket_expr("url", st.num_buckets).alias("b")
-            ).distinct().collect()
-        ]
+        if buckets is None:
+            buckets = [
+                r["b"]
+                for r in urls.select(
+                    self.table._bucket_expr("url", st.num_buckets).alias("b")
+                ).distinct().collect()
+            ]
         df = self.table.read_buckets(buckets).join(F.broadcast(urls.select("url")), "url")
         df = self._resolve_latest(df)
+        if include_deleted:
+            return df
         out_cols = [c for c in df.columns if c != "deleted"]
         return df.filter(~F.col("deleted")).select(*out_cols)
 

@@ -174,3 +174,38 @@ def test_crash_between_pair_and_index_commit_heals(spark, tmp_path, events_df):
     }
     got = {tuple(r) for r in idx.index().select("url", *band_cols).collect()}
     assert got == expected
+
+
+def test_empty_batch_advances_epochs_without_jobs(spark, tmp_path, events_df):
+    """A batch window with zero events must still advance BOTH index
+    epochs (idempotent replay bookkeeping) via the r6 metadata shortcut —
+    log-only commits, no Spark job — and leave the invariants intact.
+    (mor mode, like the bench A/B: the empty delta commit is what the
+    shortcut reads.)"""
+    table = create_pages_table(spark, str(tmp_path / "pages"), num_buckets=4)
+    pipe = CdcPipeline(spark, table, str(tmp_path / "work"), sink_mode="mor")
+    idx = IngestNearDupIndex(
+        spark, str(tmp_path / "idx"), pipe.pages,
+        pages_for_fn=pipe.pages_for, num_buckets=4,
+    )
+    pipe.post_commit = idx.advance
+    # epochs 0..3 exist; epochs_per_batch=1 over a log missing epoch 1
+    gap = events_df.filter(F.col("epoch") != 1)
+    pipe.run_replay(gap, epochs_per_batch=1)
+    # epoch-1 batch was empty: both tables must have recorded it, so a
+    # redelivered batch 1 is skipped idempotently
+    assert 1 in idx.pairs.committed_epochs()
+    assert 1 in idx.sig.committed_epochs()
+    out = idx.advance(gap.filter(F.col("epoch") == 1), 1)
+    assert out["skipped"]
+    # and the index still equals minhash_bands(final live pages)
+    band_cols = [f"band_{b}" for b in range(idx.bands)]
+    expected = {
+        tuple(r)
+        for r in minhash_bands(pipe.pages(), text_col="text", id_col="url")
+        .withColumnRenamed("id", "url")
+        .select("url", *band_cols)
+        .collect()
+    }
+    got = {tuple(r) for r in idx.index().select("url", *band_cols).collect()}
+    assert got == expected
