@@ -211,8 +211,9 @@ def test_ingest_dedup_candidates_corpus_never_shuffles(spark, tmp_path):
     pipe.run_replay(spark.createDataFrame(rows, EVENT_SCHEMA), epochs_per_batch=1)
 
     new_live = idx.index().limit(2).select("url", *[f"band_{b}" for b in range(idx.bands)])
-    vs_corpus, vs_new = idx._candidates(new_live)
-    plan = _plan(vs_corpus) + _plan(vs_new)
+    # r6 shape: ONE provenance-flagged candidate frame from ONE probe join
+    cand = idx._candidates(new_live)
+    plan = _plan(cand)
     # every join keyed on (band, h) must be broadcast — never sort-merge or
     # shuffled-hash (those exchange the corpus side)
     assert "BroadcastHashJoin" in plan
